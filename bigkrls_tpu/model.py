@@ -1,0 +1,302 @@
+"""The KRLS fit orchestrator — TPU-native equivalent of ``bigKRLS()``.
+
+Mirrors the reference driver's 5-step pipeline (``R/bigKRLS.R:97-516``;
+call stack SURVEY.md §3.1):
+
+  1. Gaussian kernel of the standardized X            (ops/kernels.py)
+  2. symmetric eigendecomposition + eigtrunc          (ops/eig.py)
+  3. golden-section λ search over exact LOO error     (lambda_search.py)
+  4. coefficients, fitted values, factored vcov       (ops/solve.py)
+  5. pointwise marginal effects + AME variances       (ops/effects.py)
+
+Differences by design (TPU-first, not a port):
+
+* Heavy steps run as jitted XLA programs on device; there is no process
+  pool (the reference forks one R worker per X column for step 5,
+  ``R/bigKRLS.R:332-375``) and no shared-memory file backing (bigmemory).
+* ``vcov.est.c`` / ``vcov.est.fitted`` are kept factored
+  (``types.FactoredCovariance``); dense forms are lazy properties.
+* Pass ``mesh=`` (a ``jax.sharding.Mesh``) to 2-D block-shard the N×N
+  objects across devices; see ``parallel/``.
+
+Validation, defaults, standardization, rescaling and the output field set
+match the reference's semantics (config schema SURVEY.md §2.6).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lambda_search import lambda_search
+from .ops.effects import derivatives_all
+from .ops.eig import eigensystem
+from .ops.kernels import gauss_kernel, gauss_kernel_pallas
+from .ops.solve import solve_for_c
+from .ops.stats import neffective_acf, neffective_spectral, standardize
+from .types import Eigensystem, FactoredCovariance, KRLSModel
+
+
+def _as_2d(X) -> np.ndarray:
+    X = np.asarray(X)
+    if X.ndim == 1:
+        X = X[:, None]
+    return X
+
+
+def _validate(X: np.ndarray, y: np.ndarray) -> None:
+    """Input validation mirroring ``R/bigKRLS.R:183-224`` and ``check_data``
+    (``R/bigKRLS_Rcpp_functions.R:385-424``)."""
+    if np.isnan(X).any():
+        bad = [i for i in range(X.shape[1]) if np.isnan(X[:, i]).any()]
+        raise ValueError(
+            f"the following columns in X contain missing data, which must "
+            f"be removed: {bad}")
+    sds = X.std(axis=0, ddof=1)
+    if (sds == 0).any():
+        bad = [i for i in range(X.shape[1]) if sds[i] == 0]
+        raise ValueError(
+            f"The following columns in X are constant and must be removed: {bad}")
+    if X.shape[0] != y.shape[0]:
+        raise ValueError("nrow(X) not equal to number of elements in y.")
+    if np.isnan(y).any():
+        raise ValueError("y contains missing data.")
+    if y.std(ddof=1) == 0:
+        raise ValueError("y is a constant.")
+
+
+def check_data(y, X, **kwargs) -> None:
+    """Dry-run validator used before each CV fold (reference ``check_data``,
+    ``R/bigKRLS_Rcpp_functions.R:385-424``)."""
+    X = _as_2d(X).astype(np.float64)
+    y = np.asarray(y, dtype=np.float64).reshape(-1)
+    _validate(X, y)
+
+
+def fit(
+    y,
+    X,
+    *,
+    sigma: Optional[float] = None,
+    derivative: bool = True,
+    which_derivatives: Optional[Sequence[int]] = None,
+    vcov_est: bool = True,
+    neig: Optional[int] = None,
+    eigtrunc: Optional[float] = None,
+    lambda_: Optional[float] = None,
+    L: Optional[float] = None,
+    U: Optional[float] = None,
+    tol: Optional[float] = None,
+    acf: bool = False,
+    noisy: Optional[bool] = None,
+    xlabs: Optional[Sequence[str]] = None,
+    dtype=None,
+    eig_method: str = "auto",
+    kernel_impl: str = "auto",    # "auto" | "xla" | "pallas"
+    mesh=None,
+    log: Callable[[str], None] = print,
+) -> KRLSModel:
+    """Fit a KRLS model.  Signature follows the reference's ``bigKRLS()``
+    (``R/bigKRLS.R:97-103``; defaults per SURVEY.md §2.6):
+
+    * ``sigma``: bandwidth, default P (``:230``)
+    * ``neig``: eigenpairs to compute, default N, clamped to ≤ N (``:194``)
+    * ``eigtrunc``: default 0.001 when N > 3000 else 0 (``:195-204``)
+    * ``lambda_``: None → golden-section search (``:271-275``)
+    * ``tol``: golden-search tolerance, default N/1000 (``:232-236``)
+    * ``which_derivatives``: 0-based column indices (the reference is
+      1-based R); None = all columns
+    * ``acf``: experimental autocorrelation Neffective, forced off unless
+      P > 2 (``:192``)
+    * ``noisy``: default N > 2000 (``:153``)
+    * ``mesh``: optional ``jax.sharding.Mesh`` for multi-device sharding.
+    """
+    t0 = time.time()
+    X_np = _as_2d(X)
+    y_np = np.asarray(y).reshape(-1)
+    n, p = X_np.shape
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+    if xlabs is None:
+        xlabs = [f"x{i + 1}" for i in range(p)]
+    xlabs = [lab if lab else f"x{i + 1}" for i, lab in enumerate(xlabs)]
+
+    X_np = X_np.astype(np.float64)
+    y_np = y_np.astype(np.float64)
+    _validate(X_np, y_np)
+
+    noisy = (n > 2000) if noisy is None else bool(noisy)
+    acf = bool(acf) and p > 2
+
+    neig = n if neig is None else min(n, int(neig))
+    if eigtrunc is None:
+        eigtrunc = 0.001 if n > 3000 else 0.0
+        if n > 3000 and noisy:
+            log("Using eigentruncation = 0.001 to speed up computation.")
+    elif not (0.0 <= eigtrunc <= 1.0):
+        raise ValueError("eigtrunc must be between 0 (no truncation) and 1 "
+                         "(keep largest only).")
+
+    if which_derivatives is not None:
+        if not derivative:
+            raise ValueError("which_derivatives requires derivative=True")
+        which_derivatives = list(int(i) for i in which_derivatives)
+        if not all(0 <= i < p for i in which_derivatives):
+            raise ValueError("which_derivatives indices out of range (0-based)")
+    if lambda_ is not None and not lambda_ > 0:
+        raise ValueError("lambda_ must be positive")
+    sigma = float(p) if sigma is None else float(sigma)
+    if not sigma > 0:
+        raise ValueError("sigma must be positive")
+    if derivative and not vcov_est:
+        raise ValueError("vcov_est is needed to get derivatives "
+                         "(derivative=True requires vcov_est=True).")
+
+    # binary (first-difference) detection: exactly two unique values
+    # (``R/bigKRLS.R:242``)
+    x_is_binary = np.array(
+        [np.unique(X_np[:, j]).size == 2 for j in range(p)])
+    if noisy and x_is_binary.any():
+        log("First differences will be computed for the following (binary) "
+            f"columns of X: {list(np.nonzero(x_is_binary)[0])}")
+
+    # ---- standardization (ddof=1, reference :251-254) ----
+    Xd = jnp.asarray(X_np, dtype=dtype)
+    yd = jnp.asarray(y_np, dtype=dtype)
+    X_std, y_std, x_means, x_sds, y_mean, y_sd = standardize(Xd, yd)
+    y_init_sd = float(y_sd)
+    y_init_mean = float(y_mean)
+    x_init_sds = np.asarray(x_sds, dtype=np.float64)
+
+    if mesh is not None:
+        from .parallel.sharded import shard_fit_arrays
+        X_std, y_std = shard_fit_arrays(mesh, X_std, y_std)
+
+    # ---- step 1: kernel ----
+    if noisy:
+        log(f"Step 1/5: Kernel (t+{time.time() - t0:.1f}s)")
+    if kernel_impl == "pallas" or (
+            kernel_impl == "auto" and dtype == jnp.float32 and n >= 4096
+            and mesh is None and jax.default_backend() == "tpu"):
+        K = gauss_kernel_pallas(X_std, sigma)
+    else:
+        K = gauss_kernel(X_std, sigma)
+
+    # ---- step 2: eigendecomposition ----
+    if noisy:
+        log(f"Step 2/5: Spectral decomposition (t+{time.time() - t0:.1f}s)")
+    eig = eigensystem(K, neig=neig, eigtrunc=eigtrunc, method=eig_method)
+
+    # ---- step 3: λ search ----
+    if tol is None:
+        tol = n / 1000.0
+    if lambda_ is None:
+        if noisy:
+            log(f"Step 3/5: Golden search for lambda (t+{time.time() - t0:.1f}s)")
+        lambda_ = lambda_search(eig, y_std, L=L, U=U, tol=tol,
+                                noisy=noisy, log=log)
+    elif noisy:
+        log("Skipping step 3/5, proceeding with user-inputted lambda.")
+
+    neff = neffective_spectral(eig.values_full, lambda_, n)
+    if noisy:
+        log(f"Effective sample size: {neff:.2f}")
+
+    # ---- step 4: coefficients & fits ----
+    if noisy:
+        log(f"Step 4/5: Coefficients & related estimates (t+{time.time() - t0:.1f}s)")
+    Le, coeffs = solve_for_c(eig, y_std, lambda_)
+    yfitted_std = K @ coeffs
+    resid = y_std - yfitted_std
+    sigmasq = float(jnp.sum(resid * resid) / n)   # ref :294 (standardized units)
+
+    vcov_c_fac = None
+    if vcov_est:
+        spectrum = sigmasq / (eig.values + lambda_) ** 2   # (k,) Var(c) filter
+    else:
+        spectrum = None
+
+    # ---- step 5: marginal effects ----
+    derivatives = avgderiv = varavgderiv = None
+    R2AME = None
+    if derivative:
+        if noisy:
+            log(f"Step 5/5: Marginal effects (t+{time.time() - t0:.1f}s)")
+        cols = which_derivatives if which_derivatives is not None else list(range(p))
+        X_est = X_std[:, cols]
+        bmask = jnp.asarray(x_is_binary[cols])
+        # standardized per-column min/max for the binary toggles
+        z0 = jnp.min(X_est, axis=0)
+        z1 = jnp.max(X_est, axis=0)
+        dres = derivatives_all(X_est, K, coeffs, eig.vectors, spectrum,
+                               sigma, bmask, z0, z1)
+        deriv_std = dres.derivatives
+        varavg_std = dres.var_avgderiv
+
+        # R2AME on standardized X vs original y (cor is scale invariant;
+        # ref :390-392 uses standardized X_estimate and standardized derivs)
+        yhat_ame = X_est @ jnp.mean(deriv_std, axis=0)
+        cmat = jnp.corrcoef(yd, yhat_ame)
+        R2AME = float(cmat[0, 1] ** 2)
+
+        # rescale to original units (ref :394-407)
+        sd_ratio = y_init_sd / x_init_sds[cols]
+        derivatives = np.asarray(deriv_std, dtype=np.float64) * sd_ratio[None, :]
+        varavgderiv = np.asarray(varavg_std, dtype=np.float64) * sd_ratio ** 2
+        avgderiv = derivatives.mean(axis=0)
+
+    neff_acf = None
+    if acf:
+        if noisy:
+            log("Accumulating absolute pairwise correlations within X "
+                "(acf Neffective)")
+        neff_acf = float(neffective_acf(X_std))
+
+    if vcov_est:
+        # vcov.est.c in original y units = y.init.sd² × (Q S Qᵀ) (ref :438)
+        vcov_c_fac = FactoredCovariance(eig.vectors, spectrum,
+                                        scale=y_init_sd ** 2)
+
+    yfitted = np.asarray(yfitted_std, dtype=np.float64) * y_init_sd + y_init_mean
+    R2 = float(1.0 - np.var(y_np - yfitted, ddof=1) / y_init_sd ** 2)
+
+    model = KRLSModel(
+        X=X_np,
+        y=y_np,
+        K=K,
+        xlabs=list(xlabs),
+        coeffs=np.asarray(coeffs, dtype=np.float64),
+        yfitted=yfitted,
+        sigma=sigma,
+        lambda_=float(lambda_),
+        looe=float(Le) * y_init_sd,
+        R2=R2,
+        R2AME=R2AME,
+        K_eigenvalues=np.asarray(eig.values_full, dtype=np.float64),
+        lastkeeper=eig.lastkeeper,
+        neffective=neff,
+        neffective_acf=neff_acf,
+        derivatives=derivatives,
+        avgderivatives=avgderiv,
+        var_avgderivatives=varavgderiv,
+        binaryindicator=x_is_binary,
+        which_derivatives=which_derivatives,
+        vcov_c_factored=vcov_c_fac,
+        sigmasq_std=sigmasq if vcov_est else None,
+        y_mean=y_init_mean,
+        y_sd=y_init_sd,
+        x_means=np.asarray(x_means, dtype=np.float64),
+        x_sds=x_init_sds,
+    )
+    if noisy:
+        log(f"Done (t+{time.time() - t0:.1f}s)")
+    return model
+
+
+# R-flavored alias matching the reference entry point name
+bigKRLS = fit

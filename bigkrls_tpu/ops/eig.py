@@ -1,0 +1,179 @@
+"""Symmetric eigendecomposition of the kernel — full and truncated.
+
+Replaces the reference's ``bEigen`` → ``BigEigen`` stack
+(``R/bigKRLS_Rcpp_functions.R:173-199``, ``src/eigen.cpp:13-45``):
+
+* full path: LAPACK ``eig_sym`` → here ``jnp.linalg.eigh`` (XLA's TPU
+  eigensolver).
+* truncated path (``Neig < N``): the reference calls ARPACK Lanczos via
+  ``arma::eigs_sym`` after a wasteful dense→sparse copy
+  (``src/eigen.cpp:20-22``).  On TPU the right tool depends on scale:
+
+    - for N up to a few thousand, a full ``eigh`` followed by a top-``neig``
+      slice is both exact and *faster* than an iterative method (the MXU
+      eats the O(N³) once; no sequential Lanczos steps), so ``method="auto"``
+      does that below ``full_threshold``;
+    - for large N, blocked **randomized subspace iteration** (GEMM-rich,
+      trivially shardable over a device mesh) approximates the top-``neig``
+      pairs; a Lanczos implementation with full reorthogonalization is also
+      provided for spectra where subspace iteration converges slowly.
+
+Conventions copied from the reference:
+
+* eigenvalues returned **descending** (reference flips LAPACK's ascending
+  output: ``flipud``/``fliplr``, ``src/eigen.cpp:28-29``);
+* eigenvectors **negated** (``vecs <- -1*vecs``,
+  ``R/bigKRLS_Rcpp_functions.R:186``) — the original-KRLS sign convention.
+  Model outputs are invariant; kept for intermediate comparability;
+* ``lastkeeper = max{ 1-based index k : values[k] >= eigtrunc·values[1] }``
+  (``R/bigKRLS_Rcpp_functions.R:190``), applied to the **vectors only** —
+  the full value list is retained for the λ-search bounds and Neffective.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import Eigensystem
+
+
+@jax.jit
+def _eigh_desc(K):
+    vals, vecs = jnp.linalg.eigh(K)
+    return vals[::-1], -vecs[:, ::-1]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _subspace_iteration(K, key, k: int, iters: int):
+    """Randomized subspace iteration for the top-k eigenpairs of symmetric K.
+
+    All heavy work is (N,N)x(N,k) GEMMs — MXU-friendly and shardable.
+    QR re-orthonormalization each step keeps the basis conditioned.
+    """
+    n = K.shape[0]
+    V = jax.random.normal(key, (n, k), dtype=K.dtype)
+    V, _ = jnp.linalg.qr(V)
+
+    def body(V, _):
+        W = K @ V
+        V, _ = jnp.linalg.qr(W)
+        return V, None
+
+    V, _ = jax.lax.scan(body, V, None, length=iters)
+    # Rayleigh–Ritz
+    KV = K @ V
+    T = V.T @ KV
+    T = 0.5 * (T + T.T)
+    evals, S = jnp.linalg.eigh(T)          # ascending
+    evals = evals[::-1]
+    vecs = V @ S[:, ::-1]
+    return evals, vecs
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _lanczos(K, key, k: int):
+    """Lanczos with full reorthogonalization, m = min(N, 2k+32) steps.
+
+    Mirrors the role of ARPACK's ``eigs_sym`` (``src/eigen.cpp:18-25``)
+    using fixed-shape ``lax.scan`` so it compiles once on TPU.
+    """
+    n = K.shape[0]
+    m = min(n, 2 * k + 32)
+    v0 = jax.random.normal(key, (n,), dtype=K.dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    V0 = jnp.zeros((m, n), K.dtype).at[0].set(v0)
+
+    def body(carry, i):
+        V, alphas, betas = carry
+        v = V[i]
+        w = K @ v
+        alpha = jnp.dot(v, w)
+        w = w - alpha * v
+        # full reorthogonalization (twice for stability)
+        w = w - V.T @ (V @ w)
+        w = w - V.T @ (V @ w)
+        beta = jnp.linalg.norm(w)
+        vnext = w / jnp.maximum(beta, jnp.finfo(K.dtype).tiny)
+        V = jax.lax.cond(i + 1 < m, lambda V: V.at[i + 1].set(vnext),
+                         lambda V: V, V)
+        return (V, alphas.at[i].set(alpha), betas.at[i].set(beta)), None
+
+    carry = (V0, jnp.zeros((m,), K.dtype), jnp.zeros((m,), K.dtype))
+    (V, alphas, betas), _ = jax.lax.scan(body, carry, jnp.arange(m))
+
+    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1))
+    evals, S = jnp.linalg.eigh(T)
+    evals = evals[::-1]
+    S = S[:, ::-1]
+    vecs = V.T @ S[:, :k]
+    return evals[:k], vecs
+
+
+def lastkeeper_from_values(values: np.ndarray, eigtrunc: float) -> int:
+    """Reference truncation rule: ``max(which(values >= eigtrunc*values[1]))``
+    (``R/bigKRLS_Rcpp_functions.R:190``), returned as a count."""
+    values = np.asarray(values)
+    cond = values >= eigtrunc * values[0]
+    idx = np.nonzero(cond)[0]
+    if idx.size == 0:
+        return 1
+    return int(idx.max()) + 1
+
+
+def eigensystem(
+    K,
+    neig: Optional[int] = None,
+    eigtrunc: float = 0.0,
+    method: str = "auto",
+    full_threshold: int = 8192,
+    subspace_iters: int = 8,
+    seed: int = 0,
+) -> Eigensystem:
+    """Compute the (possibly truncated) eigensystem of the kernel.
+
+    ``method``: "auto" | "full" | "subspace" | "lanczos".
+    "auto" uses the exact full solver whenever N <= ``full_threshold`` or
+    ``neig`` is not a real truncation, matching the reference's accuracy
+    while exploiting the TPU's fast dense eigh.
+    """
+    n = K.shape[0]
+    neig = n if neig is None else min(n, int(neig))
+
+    if method == "auto":
+        if neig >= n or n <= full_threshold:
+            method = "full"
+        else:
+            method = "subspace"
+
+    if method == "full":
+        vals, vecs = _eigh_desc(K)
+        vals = vals[:neig]
+        vecs = vecs[:, :neig]
+    elif method == "subspace":
+        key = jax.random.PRNGKey(seed)
+        vals, vecs = _subspace_iteration(K, key, neig, subspace_iters)
+        vecs = -vecs
+    elif method == "lanczos":
+        key = jax.random.PRNGKey(seed)
+        vals, vecs = _lanczos(K, key, neig)
+        vecs = -vecs
+    else:
+        raise ValueError(f"unknown eig method: {method!r}")
+
+    vals_np = np.asarray(jax.device_get(vals))
+    if np.any(np.isnan(vals_np)):
+        # reference guard: NaN eigenvalues -> duplicated rows diagnosis
+        # (R/bigKRLS_Rcpp_functions.R:8-9)
+        raise ValueError(
+            "Missing eigenvalues prevent obtaining the regularization "
+            "parameter lambda. Check for repeated observations (or other "
+            "perfect linear combinations in X)."
+        )
+    lastkeeper = lastkeeper_from_values(vals_np, eigtrunc)
+    return Eigensystem(values_full=vals, vectors=vecs[:, :lastkeeper],
+                       lastkeeper=lastkeeper)

@@ -1,0 +1,58 @@
+"""Multi-device sharding for the KRLS fit — the TPU replacement for the
+reference's shared-memory bigmemory backing + PSOCK worker pool
+(SURVEY.md §2.5, §5.8).
+
+Design: a 2-D logical mesh ("i", "j").  Every O(N²) object (kernel K,
+covariance quadratic forms) is block-sharded over both axes; O(N·k) and
+O(N·P) objects are row-sharded over "i"; small vectors are replicated.
+``jax.jit`` with sharding annotations makes XLA insert the all-gathers /
+reduce-scatters over ICI — there is no hand-written communication in the
+dense path (the Pallas ring kernel in ``ops/kernels.py`` is the explicit-
+DMA alternative for kernel construction at pod scale).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a 2-D ("i", "j") mesh over the available devices.
+
+    ``shape=None`` picks the most-square factorization of the device count,
+    which maximizes block-sharding balance for the N×N objects.
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    d = len(devices)
+    if shape is None:
+        a = int(np.floor(np.sqrt(d)))
+        while d % a:
+            a -= 1
+        shape = (a, d // a)
+    mesh_devices = np.asarray(devices).reshape(shape)
+    return Mesh(mesh_devices, axis_names=("i", "j"))
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("i", None))
+
+
+def block_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("i", "j"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_fit_arrays(mesh: Mesh, X_std, y_std):
+    """Place the standardized inputs for a sharded fit: X row-sharded over
+    "i" (rows of the kernel/eigenvectors live with their device row),
+    y replicated (it is O(N) and feeds reductions everywhere)."""
+    X_std = jax.device_put(X_std, row_sharding(mesh))
+    y_std = jax.device_put(y_std, replicated(mesh))
+    return X_std, y_std

@@ -1,0 +1,87 @@
+"""Out-of-sample prediction with standard errors.
+
+Equivalent of ``predict.bigKRLS`` (``R/bigKRLS.R:547-637``; call stack
+SURVEY.md §3.2):
+
+* training X and newdata are both re-standardized by the *training*
+  moments (``:590-597``). Unlike the reference, the stored model is not
+  mutated (the reference standardizes ``object$X`` in place each call — a
+  documented quirk, SURVEY.md §3.2 note);
+* cross kernel ``K_new`` via ``ops/kernels.cross_kernel``
+  (ref ``bTempKernel``, ``:599``);
+* ``ŷ = K_new·c`` rescaled by sd(y), mean(y) (``:601, 621``);
+* prediction variance ``Var(pred) = K_new · Var(c) · K_newᵀ`` (``:608`` —
+  the reference's var(y)·(1/var(y)) dance cancels exactly). Computed here
+  from the factored Var(c) so only the O(U·k) diagonal is ever formed
+  unless the caller asks for the dense matrix;
+* the ``correct_SE`` scaling multiplies the *covariance* by √(N/Neff)
+  before the square root of the diagonal is taken (``:610-613``) — i.e.
+  the reported se is (N/Neff)^{1/4}·√diag.  This reference quirk is
+  replicated verbatim for parity.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.kernels import cross_kernel
+from .types import KRLSModel, KRLSPrediction
+
+
+def predict(
+    model: KRLSModel,
+    newdata,
+    se_pred: bool = False,
+    correct_SE: bool = True,
+    ytest=None,
+    materialize_vcov: bool = False,
+) -> KRLSPrediction:
+    newdata_np = np.asarray(newdata, dtype=np.float64)
+    if newdata_np.ndim == 1:
+        newdata_np = newdata_np[:, None]
+    if newdata_np.shape[1] != model.p:
+        raise ValueError("ncol(newdata) differs from ncol(X) of the fitted model")
+    if se_pred and model.vcov_c_factored is None:
+        raise ValueError(
+            "refit with vcov_est=True to compute standard errors on predictions")
+
+    dtype = model.K.dtype if hasattr(model.K, "dtype") else jnp.float64
+    # re-standardize by training moments computed from the stored X
+    # (ref :590-597 recomputes colmean/colsd of object$X)
+    Xm = model.X.mean(axis=0)
+    Xs = model.X.std(axis=0, ddof=1)
+    X_std = jnp.asarray((model.X - Xm) / Xs, dtype=dtype)
+    new_std = jnp.asarray((newdata_np - Xm) / Xs, dtype=dtype)
+
+    Knew = cross_kernel(new_std, X_std, model.sigma)
+    coeffs = jnp.asarray(model.coeffs, dtype=dtype)
+    ypred_std = Knew @ coeffs
+    ypred = np.asarray(ypred_std, dtype=np.float64) * model.y.std(ddof=1) \
+        + model.y.mean()
+
+    se = None
+    vcov_pred = None
+    if se_pred:
+        fac = model.vcov_c_factored  # original y units already (scale=sd(y)²)
+        corr = 1.0
+        if correct_SE and model.neffective is not None:
+            corr = float(np.sqrt(model.n / model.neffective))
+        if materialize_vcov:
+            Vp = fac.quad_form(Knew.T) * corr   # (U, U) dense
+            vcov_pred = np.asarray(Vp, dtype=np.float64)
+            se = np.sqrt(np.diag(vcov_pred))
+        else:
+            d = fac.quad_form_diag(Knew.T) * corr
+            se = np.sqrt(np.asarray(d, dtype=np.float64))
+
+    out = KRLSPrediction(
+        predicted=ypred,
+        se_pred=se,
+        newdata=newdata_np,
+        newdataK=np.asarray(Knew, dtype=np.float64),
+        ytest=None if ytest is None else np.asarray(ytest, np.float64).reshape(-1),
+        vcov_est_pred=vcov_pred,
+    )
+    return out

@@ -1,0 +1,143 @@
+"""Cross-validation and save/load round-trip tests (reference analogs:
+the disabled-but-documented CV invariants in ``test_basic_usage.R:125-171``
+and the save/load equivalence comparator ``test_equivalent_models``)."""
+import os
+
+import numpy as np
+import pytest
+
+import bigkrls_tpu as bk
+from data_mtcars import mtcars_xy
+
+
+@pytest.fixture(scope="module")
+def synth(rng=None):
+    gen = np.random.default_rng(42)
+    n, p = 120, 4
+    X = gen.normal(size=(n, p))
+    y = np.asarray(X @ np.arange(1, p + 1) + gen.normal(size=n))
+    return y, X
+
+
+def test_ptesting_split(synth):
+    y, X = synth
+    cv = bk.crossvalidate(y, X, seed=123, ptesting=20, noisy=False)
+    assert cv.type == "crossvalidated"
+    n_test = len(cv.indices["test_set"])
+    assert n_test == round(len(y) * 0.20)
+    # disjoint and exhaustive
+    assert len(np.intersect1d(cv.indices["train_set"],
+                              cv.indices["test_set"])) == 0
+    assert len(cv.indices["train_set"]) + n_test == len(y)
+    assert 0 <= cv["pseudoR2_oos"] <= 1
+    assert cv["MSE_oos"] > 0
+    out = bk.summary_cv(cv)
+    assert "overview" in out and "training_summary" in out
+
+
+def test_ptesting_reproducible(synth):
+    y, X = synth
+    cv1 = bk.crossvalidate(y, X, seed=7, ptesting=25, noisy=False)
+    cv2 = bk.crossvalidate(y, X, seed=7, ptesting=25, noisy=False)
+    assert np.array_equal(cv1.indices["train_set"], cv2.indices["train_set"])
+    assert cv1["pseudoR2_oos"] == cv2["pseudoR2_oos"]
+
+
+def test_kfolds(synth):
+    y, X = synth
+    cv = bk.crossvalidate(y, X, seed=99, kfolds=3, noisy=False)
+    assert cv.type == "KfoldsCV"
+    counts = np.bincount(cv.folds, minlength=3)
+    assert counts.sum() == len(y)
+    assert counts.max() - counts.min() <= 1
+    for key in ("R2_is", "R2_oos", "MSE_is", "MSE_oos",
+                "R2AME_is", "R2AME_oos", "MSE_AME_is", "MSE_AME_oos"):
+        assert len(cv.metrics[key]) == 3
+    # the model should actually predict well on this easy linear DGP
+    assert min(cv.metrics["R2_oos"]) > 0.7
+    out = bk.summary_cv(cv)
+    assert "training2_summary" in out
+
+
+def test_kfolds_requires_exactly_one_mode(synth):
+    y, X = synth
+    with pytest.raises(ValueError):
+        bk.crossvalidate(y, X, seed=1, kfolds=3, ptesting=20)
+    with pytest.raises(ValueError):
+        bk.crossvalidate(y, X, seed=1)
+
+
+def test_save_load_roundtrip(tmp_path):
+    y, X, labs = mtcars_xy()
+    model = bk.fit(y, X, eigtrunc=0.0, xlabs=labs, noisy=False)
+    folder = bk.save_model(model, str(tmp_path / "m"))
+    loaded = bk.load_model(folder)
+
+    # the reference comparator allows only {derivatives, K, vcov.est.c, X}
+    # to differ and only up to near-equality; we require exact equality for
+    # binary persistence
+    assert np.array_equal(model.K, loaded.K)
+    assert np.array_equal(model.X, loaded.X)
+    assert np.array_equal(model.coeffs, loaded.coeffs)
+    assert np.array_equal(model.yfitted, loaded.yfitted)
+    assert np.array_equal(model.derivatives, loaded.derivatives)
+    assert model.lambda_ == loaded.lambda_
+    assert model.lastkeeper == loaded.lastkeeper
+    assert model.neffective == loaded.neffective
+    assert list(model.xlabs) == list(loaded.xlabs)
+    assert np.array_equal(model.binaryindicator, loaded.binaryindicator)
+    # factored covariance round-trips -> dense forms agree
+    assert np.allclose(model.vcov_est_c, loaded.vcov_est_c)
+    # loaded model predicts identically
+    p1 = bk.predict(model, X[:5], se_pred=True)
+    p2 = bk.predict(loaded, X[:5], se_pred=True)
+    assert np.allclose(p1.predicted, p2.predicted)
+    assert np.allclose(p1.se_pred, p2.se_pred)
+
+
+def test_save_collision_suffix(tmp_path):
+    y, X, labs = mtcars_xy()
+    model = bk.fit(y, X, noisy=False, derivative=False)
+    f1 = bk.save_model(model, str(tmp_path / "m"))
+    f2 = bk.save_model(model, str(tmp_path / "m"))
+    assert f1 != f2 and f2.endswith("1")
+    f3 = bk.save_model(model, str(tmp_path / "m"), overwrite_existing=True)
+    assert f3 == f1
+
+
+def test_save_load_cv(tmp_path, synth):
+    y, X = synth
+    cv = bk.crossvalidate(y, X, seed=5, kfolds=2, noisy=False,
+                          derivative=False)
+    folder = bk.save_model(cv, str(tmp_path / "cv"))
+    loaded = bk.load_model(folder)
+    assert loaded.type == "KfoldsCV"
+    assert loaded.kfolds == 2
+    assert np.array_equal(loaded.folds, cv.folds)
+    assert np.allclose(loaded.metrics["MSE_oos"], cv.metrics["MSE_oos"])
+    assert np.allclose(loaded.fold_results[0].trained.coeffs,
+                       cv.fold_results[0].trained.coeffs)
+
+
+def test_native_matstore_roundtrip(tmp_path):
+    from bigkrls_tpu.native import matstore
+    if not matstore.available():
+        pytest.skip("native matstore not built")
+    a = np.random.default_rng(3).normal(size=(64, 64))
+    p = str(tmp_path / "a.bin")
+    matstore.write_matrix(p, a)
+    assert np.array_equal(matstore.read_matrix(p), a)
+    assert np.array_equal(np.asarray(matstore.mmap_matrix(p)), a)
+    # corruption is detected
+    raw = bytearray(open(p, "rb").read())
+    raw[100] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(IOError):
+        matstore.read_matrix(p)
+
+
+def test_plot_effects(tmp_path):
+    y, X, labs = mtcars_xy()
+    m = bk.fit(y, X, xlabs=labs, noisy=False)
+    out = bk.plot_effects(m, dydx=4, save_to=str(tmp_path / "fx.png"))
+    assert os.path.exists(out)
