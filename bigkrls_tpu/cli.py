@@ -1,0 +1,178 @@
+"""Command-line interface.
+
+The reference is driven from an R session; the TPU framework additionally
+ships a CLI for production/batch use:
+
+    python -m bigkrls_tpu fit data.csv --y-col 0 --out model_dir
+    python -m bigkrls_tpu summary model_dir
+    python -m bigkrls_tpu predict model_dir newdata.csv --se
+    python -m bigkrls_tpu cv data.csv --y-col 0 --kfolds 5 --seed 1234
+    python -m bigkrls_tpu plot model_dir -o effects.png
+    python -m bigkrls_tpu bench
+
+CSVs are numeric (optional single header row), parsed by the native C++
+reader when built.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_fit_args(p):
+    p.add_argument("--y-col", type=int, default=0)
+    p.add_argument("--sigma", type=float, default=None)
+    p.add_argument("--lambda", dest="lambda_", type=float, default=None)
+    p.add_argument("--neig", type=int, default=None)
+    p.add_argument("--eigtrunc", type=float, default=None)
+    p.add_argument("--no-derivative", action="store_true")
+    p.add_argument("--which-derivatives", type=str, default=None,
+                   help="comma-separated 0-based column indices")
+    p.add_argument("--acf", action="store_true")
+    p.add_argument("--x64", action="store_true",
+                   help="float64 parity mode (slow on TPU)")
+    p.add_argument("--noisy", action="store_true")
+    p.add_argument("--checkpoint-dir", type=str, default=None)
+
+
+def _fit_kwargs(args):
+    kw = dict(sigma=args.sigma, lambda_=args.lambda_, neig=args.neig,
+              eigtrunc=args.eigtrunc, acf=args.acf,
+              noisy=args.noisy or None)
+    if args.no_derivative:
+        kw["derivative"] = False
+        kw["vcov_est"] = True
+    if args.which_derivatives:
+        kw["which_derivatives"] = [int(i) for i in
+                                   args.which_derivatives.split(",")]
+    if getattr(args, "checkpoint_dir", None):
+        kw["checkpoint_dir"] = args.checkpoint_dir
+    return kw
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="bigkrls_tpu",
+                                     description=__doc__.split("\n")[0])
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pf = sub.add_parser("fit", help="fit a KRLS model from a CSV")
+    pf.add_argument("data")
+    pf.add_argument("--out", required=True)
+    pf.add_argument("--overwrite", action="store_true")
+    _add_fit_args(pf)
+
+    ps = sub.add_parser("summary", help="summarize a saved model")
+    ps.add_argument("model")
+    ps.add_argument("--degrees", default="Neffective",
+                    choices=["Neffective", "N", "acf"])
+
+    pp = sub.add_parser("predict", help="predict from a saved model")
+    pp.add_argument("model")
+    pp.add_argument("newdata")
+    pp.add_argument("--se", action="store_true")
+    pp.add_argument("--out", default=None, help="write predictions CSV here")
+
+    pc = sub.add_parser("cv", help="cross-validate")
+    pc.add_argument("data")
+    pc.add_argument("--seed", type=int, required=True)
+    group = pc.add_mutually_exclusive_group(required=True)
+    group.add_argument("--kfolds", type=int, default=None)
+    group.add_argument("--ptesting", type=float, default=None)
+    pc.add_argument("--out", default=None)
+    _add_fit_args(pc)
+
+    pr = sub.add_parser("reducibility", help="AME reducibility test")
+    pr.add_argument("model")
+    pr.add_argument("--loss", type=int, default=2, choices=[1, 2])
+    pr.add_argument("--q", type=float, default=0.05)
+
+    pl = sub.add_parser("plot", help="plot marginal effects")
+    pl.add_argument("model")
+    pl.add_argument("-o", "--out", required=True)
+
+    pb = sub.add_parser("bench", help="run the benchmark")
+
+    args = parser.parse_args(argv)
+
+    if getattr(args, "x64", False):
+        import bigkrls_tpu
+        bigkrls_tpu.enable_x64()
+
+    import bigkrls_tpu as bk
+    from bigkrls_tpu.utils.io import design_from_csv, load_csv
+
+    if args.cmd == "fit":
+        y, X = design_from_csv(args.data, y_col=args.y_col)
+        m = bk.fit(y, X, **_fit_kwargs(args))
+        folder = bk.save_model(m, args.out,
+                               overwrite_existing=args.overwrite, noisy=True)
+        print(json.dumps({"saved": folder, "R2": m.R2,
+                          "lambda": m.lambda_,
+                          "Neffective": m.neffective}))
+        return 0
+
+    if args.cmd == "summary":
+        m = bk.load_model(args.model)
+        print(bk.summary(m, degrees=args.degrees))
+        return 0
+
+    if args.cmd == "predict":
+        m = bk.load_model(args.model)
+        newdata = load_csv(args.newdata)
+        pred = bk.predict(m, newdata, se_pred=args.se)
+        if args.out:
+            cols = [pred.predicted]
+            hdr = "predicted"
+            if args.se:
+                cols.append(pred.se_pred)
+                hdr += ",se"
+            np.savetxt(args.out, np.column_stack(cols), delimiter=",",
+                       header=hdr, comments="")
+            print(json.dumps({"written": args.out, "n": len(pred.predicted)}))
+        else:
+            for i, v in enumerate(pred.predicted):
+                line = f"{v:.6g}"
+                if args.se:
+                    line += f",{pred.se_pred[i]:.6g}"
+                print(line)
+        return 0
+
+    if args.cmd == "cv":
+        y, X = design_from_csv(args.data, y_col=args.y_col)
+        cv = bk.crossvalidate(y, X, seed=args.seed, kfolds=args.kfolds,
+                              ptesting=args.ptesting, **_fit_kwargs(args))
+        out = bk.summary_cv(cv)
+        print(out["text"])
+        if args.out:
+            folder = bk.save_model(cv, args.out)
+            print(json.dumps({"saved": folder}))
+        return 0
+
+    if args.cmd == "reducibility":
+        from bigkrls_tpu.reducibility import reducibility
+        m = bk.load_model(args.model)
+        print(reducibility(m, loss=args.loss, q=args.q))
+        return 0
+
+    if args.cmd == "plot":
+        m = bk.load_model(args.model)
+        bk.plot_effects(m, save_to=args.out)
+        print(json.dumps({"written": args.out}))
+        return 0
+
+    if args.cmd == "bench":
+        import runpy
+        import os
+        runpy.run_path(os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+            run_name="__main__")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

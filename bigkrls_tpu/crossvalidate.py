@@ -194,7 +194,8 @@ def summary_cv(cv: KRLSCrossValidation, **summary_kwargs):
                 lines.append(
                     f"{label:48s}{cv.metrics[kin]:12.3f}{cv.metrics[kout]:15.3f}")
         out["overview"] = overview
-        out["training_summary"] = summary(cv.trained, **summary_kwargs)
+        if cv.trained.derivatives is not None:
+            out["training_summary"] = summary(cv.trained, **summary_kwargs)
     else:
         ntot = len(cv.folds)
         lines += [f"N: {ntot}", f"Kfolds: {cv.kfolds}", f"Seed: {cv.seed}", ""]
@@ -206,7 +207,8 @@ def summary_cv(cv: KRLSCrossValidation, **summary_kwargs):
             lines.append(f"{key:16s}" + "".join(f"{v:12.4f}" for v in vals))
         out["overview"] = dict(cv.metrics)
         for k, fold in enumerate(cv.fold_results):
-            out[f"training{k + 1}_summary"] = summary(fold.trained,
-                                                      **summary_kwargs)
+            if fold.trained.derivatives is not None:
+                out[f"training{k + 1}_summary"] = summary(fold.trained,
+                                                          **summary_kwargs)
     out["text"] = "\n".join(lines)
     return out

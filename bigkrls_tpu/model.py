@@ -97,6 +97,7 @@ def fit(
     eig_method: str = "auto",
     kernel_impl: str = "auto",    # "auto" | "xla" | "pallas"
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
     log: Callable[[str], None] = print,
 ) -> KRLSModel:
     """Fit a KRLS model.  Signature follows the reference's ``bigKRLS()``
@@ -113,6 +114,10 @@ def fit(
       P > 2 (``:192``)
     * ``noisy``: default N > 2000 (``:153``)
     * ``mesh``: optional ``jax.sharding.Mesh`` for multi-device sharding.
+    * ``checkpoint_dir``: if set, the eigendecomposition (the O(N³) prefix)
+      is checkpointed there and reused by a later fit on identical
+      standardized inputs/eig config — mid-fit resume, which the reference
+      lacks (SURVEY.md §5.4).
     """
     t0 = time.time()
     X_np = _as_2d(X)
@@ -187,10 +192,23 @@ def fit(
     else:
         K = gauss_kernel(X_std, sigma)
 
-    # ---- step 2: eigendecomposition ----
+    # ---- step 2: eigendecomposition (checkpointable, SURVEY.md §5.4) ----
     if noisy:
         log(f"Step 2/5: Spectral decomposition (t+{time.time() - t0:.1f}s)")
-    eig = eigensystem(K, neig=neig, eigtrunc=eigtrunc, method=eig_method)
+    eig = None
+    ckpt_fp = None
+    if checkpoint_dir is not None:
+        from . import checkpoint as ckpt
+        ckpt_fp = ckpt.fingerprint(np.asarray(X_std), sigma, neig, eigtrunc,
+                                   str(jnp.dtype(dtype)))
+        eig = ckpt.load_eig(checkpoint_dir, ckpt_fp, dtype)
+        if eig is not None and noisy:
+            log("  (resumed eigendecomposition from checkpoint)")
+    if eig is None:
+        eig = eigensystem(K, neig=neig, eigtrunc=eigtrunc, method=eig_method)
+        if checkpoint_dir is not None:
+            from . import checkpoint as ckpt
+            ckpt.save_eig(checkpoint_dir, ckpt_fp, eig)
 
     # ---- step 3: λ search ----
     if tol is None:

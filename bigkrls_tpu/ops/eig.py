@@ -51,11 +51,15 @@ def _eigh_desc(K):
 def _subspace_iteration(K, key, k: int, iters: int):
     """Randomized subspace iteration for the top-k eigenpairs of symmetric K.
 
-    All heavy work is (N,N)x(N,k) GEMMs — MXU-friendly and shardable.
-    QR re-orthonormalization each step keeps the basis conditioned.
+    All heavy work is (N,N)x(N,q) GEMMs — MXU-friendly and shardable.
+    The working basis is oversampled (q = k + min(k, 32) extra columns) so
+    the *trailing* requested pairs converge too — without it the last few
+    Ritz values lag several digits behind.  QR re-orthonormalization each
+    step keeps the basis conditioned.
     """
     n = K.shape[0]
-    V = jax.random.normal(key, (n, k), dtype=K.dtype)
+    q = min(n, k + min(k, 32) + 8)
+    V = jax.random.normal(key, (n, q), dtype=K.dtype)
     V, _ = jnp.linalg.qr(V)
 
     def body(V, _):
@@ -64,13 +68,13 @@ def _subspace_iteration(K, key, k: int, iters: int):
         return V, None
 
     V, _ = jax.lax.scan(body, V, None, length=iters)
-    # Rayleigh–Ritz
+    # Rayleigh–Ritz on the oversampled basis, keep top-k
     KV = K @ V
     T = V.T @ KV
     T = 0.5 * (T + T.T)
     evals, S = jnp.linalg.eigh(T)          # ascending
-    evals = evals[::-1]
-    vecs = V @ S[:, ::-1]
+    evals = evals[::-1][:k]
+    vecs = (V @ S[:, ::-1])[:, :k]
     return evals, vecs
 
 

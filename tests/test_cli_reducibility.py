@@ -1,0 +1,105 @@
+"""CLI round-trip and reducibility tests."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import bigkrls_tpu as bk
+from bigkrls_tpu.reducibility import (benjamini_hochberg_reject,
+                                      reducibility, wilcoxon_paired_less)
+
+
+def _write_csv(path, y, X):
+    arr = np.column_stack([y, X])
+    np.savetxt(path, arr, delimiter=",",
+               header="y," + ",".join(f"x{i}" for i in range(X.shape[1])),
+               comments="")
+
+
+def test_cli_fit_summary_predict(tmp_path):
+    rng = np.random.default_rng(0)
+    n, p = 60, 3
+    X = rng.normal(size=(n, p))
+    y = X @ np.ones(p) + 0.2 * rng.normal(size=n)
+    data = str(tmp_path / "d.csv")
+    _write_csv(data, y, X)
+
+    from bigkrls_tpu.cli import main
+    model_dir = str(tmp_path / "model")
+    rc = main(["fit", data, "--out", model_dir])
+    assert rc == 0 and os.path.exists(os.path.join(model_dir, "meta.json"))
+
+    rc = main(["summary", model_dir])
+    assert rc == 0
+
+    newdata = str(tmp_path / "new.csv")
+    np.savetxt(newdata, X[:7], delimiter=",")
+    out_csv = str(tmp_path / "pred.csv")
+    rc = main(["predict", model_dir, newdata, "--se", "--out", out_csv])
+    assert rc == 0
+    pred = np.loadtxt(out_csv, delimiter=",", skiprows=1)
+    assert pred.shape == (7, 2)
+    m = bk.load_model(model_dir)
+    direct = bk.predict(m, X[:7], se_pred=True)
+    assert np.allclose(pred[:, 0], direct.predicted, atol=1e-6)
+
+    rc = main(["reducibility", model_dir])
+    assert rc == 0
+    rc = main(["plot", model_dir, "-o", str(tmp_path / "fx.png")])
+    assert rc == 0 and os.path.exists(tmp_path / "fx.png")
+
+
+def test_cli_cv(tmp_path):
+    rng = np.random.default_rng(1)
+    n, p = 80, 3
+    X = rng.normal(size=(n, p))
+    y = X @ np.ones(p) + 0.3 * rng.normal(size=n)
+    data = str(tmp_path / "d.csv")
+    _write_csv(data, y, X)
+    from bigkrls_tpu.cli import main
+    rc = main(["cv", data, "--seed", "3", "--kfolds", "2",
+               "--no-derivative"])
+    assert rc == 0
+
+
+def test_wilcoxon_against_known():
+    # symmetric differences centered at zero -> large p
+    rng = np.random.default_rng(2)
+    d = rng.normal(size=200)
+    p_less = wilcoxon_paired_less(d, np.zeros(200))
+    assert 0.05 < p_less < 0.95
+    # x systematically smaller than y -> tiny p for 'less'
+    x = rng.normal(size=200) - 1.0
+    y = rng.normal(size=200)
+    assert wilcoxon_paired_less(x, y) < 1e-6
+    # and the reverse direction -> p near 1
+    assert wilcoxon_paired_less(y, x) > 0.999
+
+
+def test_bh_rejects():
+    p = np.array([0.001, 0.002, 0.04, 0.2, 0.9])
+    rej = benjamini_hochberg_reject(p, q=0.05)
+    assert rej[0] and rej[1]
+    assert not rej[4]
+    assert not benjamini_hochberg_reject(np.array([0.5, 0.9]), 0.05).any()
+
+
+def test_reducibility_structure_and_linear_null():
+    """On a purely linear, centered DGP the AME is a sufficient summary —
+    the test should not reject; p-values must be valid probabilities and
+    the result printable (mechanics mirror ``examples/reducibility.R``)."""
+    rng = np.random.default_rng(3)
+    n, p = 300, 4
+    X = rng.normal(size=(n, p))
+    y = X @ np.array([1.0, 2.0, -1.0, 0.5]) + 0.3 * rng.normal(size=n)
+    m = bk.fit(y, X, noisy=False)
+    res = reducibility(m)
+    assert ((res.pvalues >= 0) & (res.pvalues <= 1)).all()
+    assert len(res.labels) == p
+    assert not res.reject.all()      # linear effects: AME suffices
+    assert str(res)                  # printable
+    res1 = reducibility(m, loss=1, q=0.1)
+    assert res1.loss == 1 and res1.q == 0.1

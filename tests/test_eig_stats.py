@@ -1,0 +1,143 @@
+"""Eigendecomposition paths (full / subspace / Lanczos), eigtrunc/lastkeeper
+semantics, and the statistical helpers (acf Neffective, Student-t tails)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bigkrls_tpu.ops.eig import (eigensystem, lastkeeper_from_values)
+from bigkrls_tpu.ops.kernels import gauss_kernel
+from bigkrls_tpu.ops.stats import (neffective_acf, neffective_spectral,
+                                   standardize, two_sided_p)
+
+
+def _kernel(rng, n=80, p=4):
+    X = rng.normal(size=(n, p))
+    X = (X - X.mean(0)) / X.std(0, ddof=1)
+    return gauss_kernel(jnp.asarray(X), float(p)), X
+
+
+def test_full_eig_reconstructs(rng):
+    K, _ = _kernel(rng)
+    eig = eigensystem(K)
+    Q = np.asarray(eig.vectors)
+    v = np.asarray(eig.values)
+    assert np.all(np.diff(v) <= 1e-12)              # descending
+    recon = (Q * v) @ Q.T
+    assert np.max(np.abs(recon - np.asarray(K))) < 1e-10
+    # orthonormal columns
+    assert np.max(np.abs(Q.T @ Q - np.eye(Q.shape[1]))) < 1e-10
+
+
+def test_lastkeeper_semantics():
+    vals = np.array([10.0, 5.0, 1.0, 0.5, 0.01, 1e-9])
+    assert lastkeeper_from_values(vals, 0.0) == 6
+    assert lastkeeper_from_values(vals, 0.05) == 4   # >= 0.5 keeps idx 0..3
+    assert lastkeeper_from_values(vals, 0.5) == 2
+    assert lastkeeper_from_values(vals, 1.0) == 1
+    # reference rule is max(which(cond)), tolerant of non-monotone tails
+    vals2 = np.array([10.0, 0.01, 5.0])
+    assert lastkeeper_from_values(vals2, 0.05) == 3
+
+
+def test_eigtrunc_truncates_vectors_keeps_values(rng):
+    K, _ = _kernel(rng)
+    eig = eigensystem(K, eigtrunc=0.01)
+    assert eig.lastkeeper < K.shape[0]
+    assert eig.vectors.shape[1] == eig.lastkeeper
+    assert eig.values_full.shape[0] == K.shape[0]    # full list retained
+    assert eig.values.shape[0] == eig.lastkeeper
+
+
+def test_subspace_matches_full_topk(rng):
+    K, _ = _kernel(rng, n=100)
+    full = eigensystem(K, method="full")
+    k = 10
+    sub = eigensystem(K, neig=k, method="subspace", subspace_iters=30)
+    vf = np.asarray(full.values_full)[:k]
+    vs = np.asarray(sub.values_full)[:k]
+    assert np.max(np.abs(vf - vs) / np.abs(vf)) < 1e-6
+    # eigenvectors match up to sign
+    Qf = np.asarray(full.vectors)[:, :k]
+    Qs = np.asarray(sub.vectors)[:, :k]
+    cos = np.abs(np.sum(Qf * Qs, axis=0))
+    assert np.min(cos) > 0.9999
+
+
+def test_lanczos_matches_full_topk(rng):
+    K, _ = _kernel(rng, n=100)
+    full = eigensystem(K, method="full")
+    k = 8
+    lcz = eigensystem(K, neig=k, method="lanczos")
+    vf = np.asarray(full.values_full)[:k]
+    vl = np.asarray(lcz.values_full)[:k]
+    assert np.max(np.abs(vf - vl) / np.abs(vf)) < 1e-6
+
+
+def test_auto_method_switches(rng):
+    K, _ = _kernel(rng, n=60)
+    # small N with truncation -> still exact full path under "auto"
+    e1 = eigensystem(K, neig=10, method="auto", full_threshold=8192)
+    e2 = eigensystem(K, neig=10, method="full")
+    assert np.allclose(np.asarray(e1.values_full), np.asarray(e2.values_full))
+
+
+def test_neffective_spectral():
+    vals = jnp.asarray([4.0, 2.0, 1.0])
+    lam = 1.0
+    out = neffective_spectral(vals, lam, 10)
+    expected = 10 - (4 / 5 + 2 / 3 + 1 / 2)
+    assert abs(out - expected) < 1e-12
+
+
+def test_neffective_acf_matches_naive(rng):
+    n, p = 40, 5
+    X = rng.normal(size=(n, p))
+    Xs, _, _, _, _, _ = standardize(jnp.asarray(X),
+                                    jnp.asarray(rng.normal(size=n)))
+    got = float(neffective_acf(Xs))
+
+    # literal transcription of src/Neffective.cpp:23-63
+    Z = np.asarray(Xs, dtype=np.float64)
+    Z = Z - Z.mean(axis=1, keepdims=True)
+    Z = Z / np.sqrt((Z ** 2).sum(axis=1, keepdims=True))
+    r = 0.0
+    for i in range(n):
+        for j in range(i):
+            r += abs(float(Z[i] @ Z[j]))
+    expected = n * (1 - 2 * r / n ** 2) + 1
+    assert abs(got - expected) < 1e-10
+    assert 1.0 <= got <= n + 1
+
+
+def test_t_distribution_tails():
+    # two-sided p-values vs known quantiles: t=1.96, df large ~ 0.05
+    p = float(two_sided_p(1.959964, 10_000_000))
+    assert abs(p - 0.05) < 1e-4
+    # df=1 (Cauchy): P(|T|>1) = 0.5
+    p1 = float(two_sided_p(1.0, 1))
+    assert abs(p1 - 0.5) < 1e-10
+    # symmetry
+    assert np.isclose(float(two_sided_p(-2.3, 7)), float(two_sided_p(2.3, 7)))
+    # monotone in |t|
+    ps = [float(two_sided_p(t, 12)) for t in (0.0, 0.5, 1.0, 2.0, 4.0)]
+    assert all(a > b for a, b in zip(ps, ps[1:]))
+    assert abs(ps[0] - 1.0) < 1e-12
+
+
+def test_fit_acf_and_degrees(rng):
+    import bigkrls_tpu as bk
+    n, p = 60, 4
+    X = rng.normal(size=(n, p))
+    y = X @ np.ones(p) + 0.2 * rng.normal(size=n)
+    m = bk.fit(y, X, acf=True, noisy=False)
+    assert m.neffective_acf is not None
+    assert 1.0 <= m.neffective_acf <= n + 1
+    s = bk.summary(m, degrees="acf")
+    assert s.n_dof == m.neffective_acf
+    # acf forced off for p <= 2 (reference :192)
+    m2 = bk.fit(y, X[:, :2], acf=True, noisy=False)
+    assert m2.neffective_acf is None
+    # lazily computed by summary when not stored
+    m3 = bk.fit(y, X, acf=False, noisy=False)
+    s3 = bk.summary(m3, degrees="acf")
+    assert abs(s3.n_dof - m.neffective_acf) < 1e-6
