@@ -32,9 +32,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .lambda_search import lambda_search
-from .ops.effects import derivatives_all
-from .ops.eig import eigensystem
+from .ops.effects import derivatives_all, derivatives_streaming
+from .ops.eig import eigensystem, eigensystem_streaming
 from .ops.kernels import gauss_kernel, gauss_kernel_pallas
+from .ops.matvec import kernel_matmul, kernel_matmul_pallas
 from .ops.solve import solve_for_c
 from .ops.stats import neffective_acf, neffective_spectral, standardize
 from .types import Eigensystem, FactoredCovariance, KRLSModel
@@ -98,6 +99,9 @@ def fit(
     kernel_impl: str = "auto",    # "auto" | "xla" | "pallas"
     mesh=None,
     checkpoint_dir: Optional[str] = None,
+    streaming: Optional[bool] = None,
+    streaming_threshold: int = 32768,
+    eig_iters: int = 12,
     log: Callable[[str], None] = print,
 ) -> KRLSModel:
     """Fit a KRLS model.  Signature follows the reference's ``bigKRLS()``
@@ -118,6 +122,13 @@ def fit(
       is checkpointed there and reused by a later fit on identical
       standardized inputs/eig config — mid-fit resume, which the reference
       lacks (SURVEY.md §5.4).
+    * ``streaming``: never materialize the N×N kernel — every K-product is
+      recomputed tile-wise from X (``ops/matvec.py``) and the eigensystem
+      comes from kernel-free subspace iteration.  Requires ``neig < n``.
+      ``None`` → auto-on when ``n >= streaming_threshold`` and a real
+      truncation ``neig < n`` was requested.  This is the path past the
+      reference's hard 5N²-doubles memory wall (``INSTALL.md:75``) and
+      past single-chip HBM.
     """
     t0 = time.time()
     X_np = _as_2d(X)
@@ -182,15 +193,33 @@ def fit(
         from .parallel.sharded import shard_fit_arrays
         X_std, y_std = shard_fit_arrays(mesh, X_std, y_std)
 
+    # ---- streaming decision (kernel-free large-N path) ----
+    if streaming is None:
+        streaming = n >= streaming_threshold and neig < n
+    if streaming and neig >= n:
+        raise ValueError(
+            "streaming=True requires a truncated eigensystem: pass neig < n "
+            "(the streaming path never materializes the N x N kernel, so a "
+            "full decomposition is not available).")
+    use_pallas_mm = (jax.default_backend() == "tpu" and mesh is None
+                     and dtype == jnp.float32)
+    km = kernel_matmul_pallas if use_pallas_mm else kernel_matmul
+
     # ---- step 1: kernel ----
-    if noisy:
-        log(f"Step 1/5: Kernel (t+{time.time() - t0:.1f}s)")
-    if kernel_impl == "pallas" or (
-            kernel_impl == "auto" and dtype == jnp.float32 and n >= 4096
-            and mesh is None and jax.default_backend() == "tpu"):
-        K = gauss_kernel_pallas(X_std, sigma)
+    if streaming:
+        K = None
+        if noisy:
+            log("Step 1/5: kernel will be streamed tile-wise "
+                "(never materialized)")
     else:
-        K = gauss_kernel(X_std, sigma)
+        if noisy:
+            log(f"Step 1/5: Kernel (t+{time.time() - t0:.1f}s)")
+        if kernel_impl == "pallas" or (
+                kernel_impl == "auto" and dtype == jnp.float32 and n >= 4096
+                and mesh is None and jax.default_backend() == "tpu"):
+            K = gauss_kernel_pallas(X_std, sigma)
+        else:
+            K = gauss_kernel(X_std, sigma)
 
     # ---- step 2: eigendecomposition (checkpointable, SURVEY.md §5.4) ----
     if noisy:
@@ -205,7 +234,13 @@ def fit(
         if eig is not None and noisy:
             log("  (resumed eigendecomposition from checkpoint)")
     if eig is None:
-        eig = eigensystem(K, neig=neig, eigtrunc=eigtrunc, method=eig_method)
+        if streaming:
+            eig = eigensystem_streaming(X_std, sigma, neig=neig,
+                                        eigtrunc=eigtrunc, iters=eig_iters,
+                                        matmul=km)
+        else:
+            eig = eigensystem(K, neig=neig, eigtrunc=eigtrunc,
+                              method=eig_method)
         if checkpoint_dir is not None:
             from . import checkpoint as ckpt
             ckpt.save_eig(checkpoint_dir, ckpt_fp, eig)
@@ -229,7 +264,10 @@ def fit(
     if noisy:
         log(f"Step 4/5: Coefficients & related estimates (t+{time.time() - t0:.1f}s)")
     Le, coeffs = solve_for_c(eig, y_std, lambda_)
-    yfitted_std = K @ coeffs
+    if streaming:
+        yfitted_std = km(X_std, coeffs[:, None], sigma)[:, 0]
+    else:
+        yfitted_std = K @ coeffs
     resid = y_std - yfitted_std
     sigmasq = float(jnp.sum(resid * resid) / n)   # ref :294 (standardized units)
 
@@ -251,8 +289,13 @@ def fit(
         # standardized per-column min/max for the binary toggles
         z0 = jnp.min(X_est, axis=0)
         z1 = jnp.max(X_est, axis=0)
-        dres = derivatives_all(X_est, K, coeffs, eig.vectors, spectrum,
-                               sigma, bmask, z0, z1)
+        if streaming:
+            dres = derivatives_streaming(X_std, tuple(cols), coeffs,
+                                         eig.vectors, spectrum, sigma,
+                                         bmask, z0, z1, matmul=km)
+        else:
+            dres = derivatives_all(X_est, K, coeffs, eig.vectors, spectrum,
+                                   sigma, bmask, z0, z1)
         deriv_std = dres.derivatives
         varavg_std = dres.var_avgderiv
 

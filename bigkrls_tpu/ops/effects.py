@@ -2,9 +2,18 @@
 
 Replaces ``bDerivatives`` → ``BigDerivMat`` (``src/bigderiv_v3.cpp:13-132``)
 and the reference's entire process-pool fan-out (one R worker per X column,
-``R/bigKRLS.R:332-375``).  On TPU the per-column O(N²) loops collapse into a
-handful of N×N×P GEMMs inside one jitted program — no process boundary, no
-column loop, no N×N temporaries per column.
+``R/bigKRLS.R:332-375``).  On TPU the per-column O(N²) loops collapse into
+ONE multi-RHS kernel product inside one jitted program — no process
+boundary, no column loop, no N×N temporaries per column.
+
+Everything the derivative step needs from the kernel is K @ V for the
+stacked right-hand side
+
+    V = [ c | 1 | X∘c | X | B∘c | B ]        (N, 2+4P)
+
+(`B` = per-column max-level indicators for the binary first differences),
+so the kernel is touched exactly once — and on the streaming path
+(``ops/matvec.py``) it is never materialized at all.
 
 Continuous columns (``bigderiv_v3.cpp:89-106``): for column j the reference
 builds Dᵢₖ = x_{i,j} − x_{k,j}, L = D∘K and computes
@@ -15,9 +24,9 @@ builds Dᵢₖ = x_{i,j} − x_{k,j}, L = D∘K and computes
 Identities used here (derived in SURVEY.md §7 but with the reference's sign
 fixed against the code):
 
-    deriv[:, j] = (−2/σ) [ x_j ∘ (K c) − K (x_j ∘ c) ]          2 GEMMs for ALL j
-    1ᵀLᵀVL1     = sᵀ V s,  s = x_j ∘ (K 1) − K x_j               rowsums of L
-    sᵀ V s      = Σₖ S_k (Qᵀ s)²ₖ        (V = Q S Qᵀ never materialized)
+    deriv[:, j] = (−2/σ) [ x_j ∘ (K c) − K (x_j ∘ c) ]
+    1ᵀLᵀVL1     = sᵀ V s,  s = x_j ∘ (K 1) − K x_j          (rowsums of L)
+    sᵀ V s      = Σₖ S_k (Qᵀ s)²ₖ       (V = Q S Qᵀ never materialized)
 
 Binary columns (``bigderiv_v3.cpp:31-87``): exact min→max first differences.
 For a binary column with standardized levels z0 < z1, Δ = z1−z0, φ = −Δ²/σ,
@@ -45,14 +54,11 @@ vs explicit toggled-kernel predictions in ``tests/test_effects.py``):
   structure clearly intends — hᵀVh over the correctly-adjusted kernels,
   with the reference's overall factor 2 (``:85``) retained.  Binary AME
   variance is labeled experimental in the reference as well.
-
-Everything is computed for all requested columns in one pass; total cost is
-~4 N×N×P-GEMM-equivalents regardless of P.
 """
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -63,60 +69,95 @@ class DerivativesResult(NamedTuple):
     var_avgderiv: jax.Array      # (P_est,) standardized units
 
 
-@jax.jit
-def derivatives_all(
-    X_std,          # (N, P_est) standardized X, already subset to requested cols
-    K,              # (N, N)
-    coeffs,         # (N,)
-    Q,              # (N, k) truncated eigenvectors
-    spectrum,       # (k,)  = sigmasq/(values+λ)²  (Var(c) spectral diagonal)
-    sigma,          # bandwidth
-    binary_mask,    # (P_est,) bool — which columns take first differences
-    z0,             # (P_est,) standardized min per column (only used if binary)
-    z1,             # (P_est,) standardized max per column
-):
-    """Derivatives + AME variances for every requested column in one program."""
+def _binary_geometry(X_std, binary_mask, z0, z1):
+    dtype = X_std.dtype
+    delta = jnp.where(binary_mask, z1 - z0, jnp.ones((), dtype))  # avoid /0
+    B = (X_std >= (z1[None, :] - 0.5 * delta[None, :])).astype(dtype)
+    return delta, B
+
+
+def _rhs_stack(X_std, coeffs, B):
+    """V = [c | 1 | X∘c | X | B∘c | B], shape (N, 2+4P)."""
     n = X_std.shape[0]
+    ones = jnp.ones((n, 1), X_std.dtype)
+    c = coeffs[:, None]
+    return jnp.concatenate(
+        [c, ones, X_std * c, X_std, B * c, B], axis=1)
+
+
+def _from_products(Y, X_std, coeffs, Q, spectrum, sigma, binary_mask,
+                   delta, B):
+    """Assemble derivatives + AME variances from Y = K @ V."""
+    n, p = X_std.shape
     dtype = X_std.dtype
     sigma = jnp.asarray(sigma, dtype)
 
-    Kc = K @ coeffs                                   # (N,)
-    K1 = jnp.sum(K, axis=1)                           # (N,)  K @ 1
-    KX = K @ X_std                                    # (N, P) — reused twice
-    KXc = K @ (X_std * coeffs[:, None])               # (N, P)
+    Kc = Y[:, 0]
+    K1 = Y[:, 1]
+    KXc = Y[:, 2:2 + p]
+    KX = Y[:, 2 + p:2 + 2 * p]
+    KBc = Y[:, 2 + 2 * p:2 + 3 * p]
+    KB = Y[:, 2 + 3 * p:2 + 4 * p]
 
     # ---------------- continuous path ----------------
-    deriv_cont = (-2.0 / sigma) * (X_std * Kc[:, None] - KXc)       # (N, P)
-    s_cont = X_std * K1[:, None] - KX                                # (N, P)
-    Qts = Q.T @ s_cont                                               # (k, P)
-    var_cont = (4.0 / (sigma * sigma) / (n * n)) * jnp.sum(
-        spectrum[:, None] * Qts * Qts, axis=0)                       # (P,)
+    deriv_cont = (-2.0 / sigma) * (X_std * Kc[:, None] - KXc)
+    s_cont = X_std * K1[:, None] - KX
+    Qts = Q.T @ s_cont
+    n2 = float(n) * float(n)   # python float: n*n overflows int32 at N≥47k
+    var_cont = (4.0 / (sigma * sigma) / n2) * jnp.sum(
+        spectrum[:, None] * Qts * Qts, axis=0)
 
-    # ---------------- binary path (computed for all cols, selected by mask) ---
-    # b = indicator of the max level; padded/continuous columns produce junk
-    # that the final jnp.where discards.
-    delta = jnp.where(binary_mask, z1 - z0, jnp.ones((), dtype))     # avoid /0
-    phi = -(delta * delta) / sigma                                   # (P,)
-    B = (X_std >= (z1[None, :] - 0.5 * delta[None, :])).astype(dtype)  # (N,P) b
-    e_phi = jnp.exp(phi)                                             # (P,)
+    # ---------------- binary path (masked) ----------------
+    phi = -(delta * delta) / sigma
+    e_phi = jnp.exp(phi)
     e_mphi = jnp.exp(-phi)
-
-    KBc = K @ (B * coeffs[:, None])                                  # (N, P)
-    # same-level sum s_i: if b_i==1 -> KBc; else Kc - KBc
     same = B * KBc + (1.0 - B) * (Kc[:, None] - KBc)
     diff = Kc[:, None] - same
     mix = e_phi[None, :] * same + e_mphi[None, :] * diff
-    sign = 2.0 * B - 1.0                                             # (−1)^{1−b}
+    sign = 2.0 * B - 1.0
     deriv_bin = (sign / delta[None, :]) * (Kc[:, None] - mix)
 
-    # variance: h_k = (u_k−1)(K1 − (K B)_k) − (1/u_k − 1)(K B)_k
-    KB = K @ B                                                       # (N, P)
-    u = jnp.exp(phi[None, :] * (1.0 - 2.0 * B))                      # (N, P)
-    h = (u - 1.0) * (K1[:, None] - KB) - (1.0 / u - 1.0) * KB        # (N, P)
-    Qth = Q.T @ h                                                    # (k, P)
-    var_bin = (2.0 / (delta * delta) / (n * n)) * jnp.sum(
+    u = jnp.exp(phi[None, :] * (1.0 - 2.0 * B))
+    h = (u - 1.0) * (K1[:, None] - KB) - (1.0 / u - 1.0) * KB
+    Qth = Q.T @ h
+    var_bin = (2.0 / (delta * delta) / n2) * jnp.sum(
         spectrum[:, None] * Qth * Qth, axis=0)
 
     derivatives = jnp.where(binary_mask[None, :], deriv_bin, deriv_cont)
     var_avg = jnp.where(binary_mask, var_bin, var_cont)
     return DerivativesResult(derivatives, var_avg)
+
+
+@jax.jit
+def derivatives_all(
+    X_std,          # (N, P_est) standardized X, already subset to requested cols
+    K,              # (N, N) dense kernel
+    coeffs,         # (N,)
+    Q,              # (N, k) truncated eigenvectors
+    spectrum,       # (k,)  = sigmasq/(values+λ)²  (Var(c) spectral diagonal)
+    sigma,          # bandwidth
+    binary_mask,    # (P_est,) bool — which columns take first differences
+    z0,             # (P_est,) standardized min per column (used if binary)
+    z1,             # (P_est,) standardized max per column
+):
+    """Dense-kernel path: one K @ V multi-RHS GEMM then assembly."""
+    delta, B = _binary_geometry(X_std, binary_mask, z0, z1)
+    Y = K @ _rhs_stack(X_std, coeffs, B)
+    return _from_products(Y, X_std, coeffs, Q, spectrum, sigma,
+                          binary_mask, delta, B)
+
+
+def derivatives_streaming(
+    X_full,         # (N, P) FULL standardized X (defines the kernel)
+    cols,           # static tuple of estimated column indices
+    coeffs, Q, spectrum, sigma, binary_mask, z0, z1,
+    matmul: Callable,   # (X, V, sigma) -> K(X) @ V, kernel-free
+):
+    """Streaming path: identical math, K recomputed tile-wise inside
+    ``matmul`` (``ops/matvec.py``) — O(N·P) memory."""
+    X_sel = X_full[:, list(cols)]
+    delta, B = _binary_geometry(X_sel, binary_mask, z0, z1)
+    V = _rhs_stack(X_sel, coeffs, B)
+    Y = matmul(X_full, V, sigma)
+    return _from_products(Y, X_sel, coeffs, Q, spectrum, sigma,
+                          binary_mask, delta, B)

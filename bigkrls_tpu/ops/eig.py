@@ -118,6 +118,66 @@ def _lanczos(K, key, k: int):
     return evals[:k], vecs
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters", "matmul"))
+def _subspace_iteration_matvec(X, key, sigma, k: int, iters: int, matmul):
+    """Kernel-free subspace iteration: K is never materialized; each step
+    is one streaming K@V product (``ops/matvec.py``).  This is the
+    eigensolver for N past single-chip HBM (SURVEY.md §7 hard part #1 /
+    #4): storage is O(N·q), FLOPs 2N²(P+q) per iteration on the MXU."""
+    n = X.shape[0]
+    q = min(n, k + min(k, 32) + 8)
+    V = jax.random.normal(key, (n, q), dtype=X.dtype)
+    V, _ = jnp.linalg.qr(V)
+
+    def body(V, _):
+        W = matmul(X, V, sigma)
+        V, _ = jnp.linalg.qr(W)
+        return V, None
+
+    V, _ = jax.lax.scan(body, V, None, length=iters)
+    KV = matmul(X, V, sigma)
+    T = V.T @ KV
+    T = 0.5 * (T + T.T)
+    evals, S = jnp.linalg.eigh(T)
+    evals = evals[::-1][:k]
+    vecs = (V @ S[:, ::-1])[:, :k]
+    return evals, vecs
+
+
+def eigensystem_streaming(
+    X_std,
+    sigma,
+    neig: int,
+    eigtrunc: float = 0.0,
+    iters: int = 12,
+    seed: int = 0,
+    matmul=None,
+) -> Eigensystem:
+    """Truncated eigensystem of the (never-materialized) kernel of X_std.
+
+    Same conventions as :func:`eigensystem` (descending values, negated
+    vectors, lastkeeper truncation of the vectors only).  ``neig`` must be
+    < N (streaming a full decomposition makes no sense)."""
+    from .matvec import kernel_matmul
+    if matmul is None:
+        matmul = kernel_matmul
+    n = X_std.shape[0]
+    neig = min(int(neig), n)
+    key = jax.random.PRNGKey(seed)
+    vals, vecs = _subspace_iteration_matvec(X_std, key, sigma, neig, iters,
+                                            matmul)
+    vecs = -vecs
+    vals_np = np.asarray(jax.device_get(vals))
+    if np.any(np.isnan(vals_np)):
+        raise ValueError(
+            "Missing eigenvalues prevent obtaining the regularization "
+            "parameter lambda. Check for repeated observations (or other "
+            "perfect linear combinations in X).")
+    lastkeeper = lastkeeper_from_values(vals_np, eigtrunc)
+    return Eigensystem(values_full=vals, vectors=vecs[:, :lastkeeper],
+                       lastkeeper=lastkeeper)
+
+
 def lastkeeper_from_values(values: np.ndarray, eigtrunc: float) -> int:
     """Reference truncation rule: ``max(which(values >= eigtrunc*values[1]))``
     (``R/bigKRLS_Rcpp_functions.R:190``), returned as a count."""

@@ -1,0 +1,138 @@
+"""Kernel-free matmul: Y = K(X) @ V without materializing K.
+
+The reference's hard wall is storing the N×N kernel (≈5N² doubles peak,
+``INSTALL.md:75``; practical limit N≈15k, ``README.md:69``).  Every
+consumer of K in the KRLS pipeline is actually a *product* K @ V:
+
+* truncated eigendecomposition: subspace iteration / Lanczos only need
+  K @ V (``ops/eig.py``);
+* fitted values: K @ c;
+* ALL marginal-effect quantities (``ops/effects.py``): K@c, K@1, K@X,
+  K@(X∘c), K@B, K@(B∘c) — stackable into ONE multi-RHS product.
+
+So for N where K cannot live in HBM (N=500k f32 ⇒ 1 TB), the fit runs
+"streaming": K is recomputed tile-by-tile from X (O(N·P) storage) and
+contracted against V on the fly.  FLOP cost per product is
+2N²(P+m) — the kernel tiles are rank-P MXU matmuls followed by a fused
+exp and a second matmul, so arithmetic intensity stays high and HBM
+traffic is O(N·(P+m)) per row-block instead of O(N²).
+
+Two backends:
+
+* ``kernel_matmul`` — XLA: ``lax.scan`` over column blocks, each step
+  materializing only an (N, block) tile.  Works on all backends and under
+  sharding (row-shard X over a mesh and the scan's GEMMs shard with it).
+* ``kernel_matmul_pallas`` — tiled Pallas TPU kernel with grid
+  (N/Ti, N/Tj), accumulating over j so each output tile is revisited in
+  VMEM; K never touches HBM at all.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def kernel_matmul(X, V, sigma, block: int = 1024):
+    """Y = exp(-pairwise_sqdist(X, X)/sigma) @ V, never materializing K.
+
+    ``V`` is (N, m); returns (N, m).  Peak temporary is one (N, block)
+    kernel tile.
+    """
+    n, p = X.shape
+    m = V.shape[1]
+    sigma = jnp.asarray(sigma, X.dtype)
+    npad = _round_up(n, block)
+    Xp = jnp.zeros((npad, p), X.dtype).at[:n].set(X)
+    Vp = jnp.zeros((npad, m), V.dtype).at[:n].set(V)
+    r = jnp.sum(Xp * Xp, axis=1)
+    # padded rows of X are zero => their r is 0; their kernel vs real rows is
+    # exp(-(r_i)/sigma) != 0, so mask the padded COLUMNS' V rows (set to 0
+    # above) — the contraction then ignores them exactly.
+    nblocks = npad // block
+
+    Xb = Xp.reshape(nblocks, block, p)
+    Vb = Vp.reshape(nblocks, block, m)
+    rb = r.reshape(nblocks, block)
+
+    def step(acc, blk):
+        Xj, Vj, rj = blk
+        g = Xp @ Xj.T                          # (npad, block) rank-P GEMM
+        d2 = jnp.maximum(r[:, None] + rj[None, :] - 2.0 * g, 0.0)
+        tile = jnp.exp(-d2 / sigma)
+        return acc + tile @ Vj, None
+
+    acc0 = jnp.zeros((npad, m), X.dtype)
+    Y, _ = jax.lax.scan(step, acc0, (Xb, Vb, rb))
+    return Y[:n]
+
+
+def _km_kernel(sigma_ref, xi_ref, xj_ref, vj_ref, out_ref):
+    j = pl.program_id(1)
+    xi = xi_ref[:]
+    xj = xj_ref[:]
+    g = jax.lax.dot_general(
+        xi, xj, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ri = jnp.sum(xi * xi, axis=1, keepdims=True)
+    rj = jnp.sum(xj * xj, axis=1, keepdims=True)
+    tile = jnp.exp(-jnp.maximum(ri + rj.T - 2.0 * g, 0.0) / sigma_ref[0])
+    contrib = jnp.dot(tile, vj_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j"))
+def kernel_matmul_pallas(X, V, sigma, tile_i: int = 256, tile_j: int = 512):
+    """Pallas TPU version: K tiles live only in VMEM; output tiles are
+    accumulated across the j grid dimension (j varies fastest, so each
+    (i) output block stays resident while its row of tiles streams)."""
+    X = X.astype(jnp.float32)
+    V = V.astype(jnp.float32)
+    n, p = X.shape
+    m = V.shape[1]
+    npad = _round_up(max(n, tile_i), max(tile_i, tile_j))
+    ppad = _round_up(max(p, 128), 128)
+    mpad = _round_up(max(m, 128), 128)
+    Xp = jnp.zeros((npad, ppad), jnp.float32).at[:n, :p].set(X)
+    # zero V rows for padded X rows => padded columns contribute exactly 0
+    Vp = jnp.zeros((npad, mpad), jnp.float32).at[:n, :m].set(V)
+    sig = jnp.asarray([sigma], jnp.float32)
+
+    grid = (npad // tile_i, npad // tile_j)
+    out = pl.pallas_call(
+        _km_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_i, ppad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, ppad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, mpad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_i, mpad), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, mpad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * npad * (ppad + mpad),
+            bytes_accessed=2 * npad * ppad * 4 + 2 * npad * mpad * 4,
+            transcendentals=npad * npad,
+        ),
+    )(sig, Xp, Xp, Vp)
+    return out[:n, :m]

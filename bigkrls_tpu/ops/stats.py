@@ -14,6 +14,8 @@ Replaces the reference's:
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -44,8 +46,7 @@ def neffective_spectral(values_full, lambda_, n: int):
     return float(n - jnp.sum(values_full / (values_full + lambda_)))
 
 
-@jax.jit
-def neffective_acf(X_std):
+def neffective_acf(X_std, block: int = 0):
     """Autocorrelation-based effective N (``src/Neffective.cpp:13-76``).
 
     Rows are de-meaned over P and normalized by their root-sum-of-squares
@@ -54,14 +55,44 @@ def neffective_acf(X_std):
 
     The reference's O(N²P) pair loop becomes one N×N Gram matmul:
     Σ_{i<j}|G_{ij}| = (Σ|G| − N)/2 since the diagonal of the normalized
-    Gram is exactly 1.
+    Gram is exactly 1.  For large N (``block`` > 0, or auto above 8192
+    rows) the Gram is streamed in (N, block) slabs — O(N·block) memory —
+    so the statistic scales with the kernel-free fit path.
     """
+    n = X_std.shape[0]
+    if block == 0 and n > 8192:
+        block = 4096
+    if block and n > block:
+        return _neffective_acf_blocked(X_std, block=block)
+    return _neffective_acf_dense(X_std)
+
+
+@jax.jit
+def _neffective_acf_dense(X_std):
     n = X_std.shape[0]
     Z = X_std - jnp.mean(X_std, axis=1, keepdims=True)
     Z = Z / jnp.sqrt(jnp.sum(Z * Z, axis=1, keepdims=True))
     G = Z @ Z.T
     r = 0.5 * (jnp.sum(jnp.abs(G)) - n)
-    mapc = 2.0 * r / (n * n)
+    mapc = 2.0 * r / (float(n) * float(n))
+    return n * (1.0 - mapc) + 1.0
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _neffective_acf_blocked(X_std, block: int):
+    n, p = X_std.shape
+    Z = X_std - jnp.mean(X_std, axis=1, keepdims=True)
+    Z = Z / jnp.sqrt(jnp.sum(Z * Z, axis=1, keepdims=True))
+    npad = ((n + block - 1) // block) * block
+    Zp = jnp.zeros((npad, p), Z.dtype).at[:n].set(Z)  # pad rows are 0 ⇒ |G|=0
+    Zb = Zp.reshape(npad // block, block, p)
+
+    def step(acc, zj):
+        return acc + jnp.sum(jnp.abs(Zp @ zj.T)), None
+
+    total, _ = jax.lax.scan(step, jnp.zeros((), Z.dtype), Zb)
+    r = 0.5 * (total - n)
+    mapc = 2.0 * r / (float(n) * float(n))
     return n * (1.0 - mapc) + 1.0
 
 

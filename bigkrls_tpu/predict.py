@@ -47,7 +47,10 @@ def predict(
         raise ValueError(
             "refit with vcov_est=True to compute standard errors on predictions")
 
-    dtype = model.K.dtype if hasattr(model.K, "dtype") else jnp.float64
+    if model.K is not None and hasattr(model.K, "dtype"):
+        dtype = model.K.dtype
+    else:
+        dtype = jnp.asarray(model.coeffs).dtype
     # re-standardize by training moments computed from the stored X
     # (ref :590-597 recomputes colmean/colsd of object$X)
     Xm = model.X.mean(axis=0)

@@ -165,10 +165,27 @@ class KRLSModel:
     @property
     def vcov_est_fitted(self) -> Optional[Array]:
         """Dense Var(ŷ) = Kᵀ Var(c) K (reference ``vcov.est.fitted``,
-        ``R/bigKRLS.R:307``). Materialized on demand, O(N²k)."""
-        if self.vcov_c_factored is None:
+        ``R/bigKRLS.R:307``). Materialized on demand, O(N²k).  None for
+        streaming (kernel-free) fits — use :meth:`vcov_fitted_diag`."""
+        if self.vcov_c_factored is None or self.K is None:
             return None
         return self.vcov_c_factored.quad_form(self.K)
+
+    def vcov_fitted_diag(self) -> Optional[Array]:
+        """diag Var(ŷ) in O(N·k) — available even for kernel-free fits
+        (KQ is recomputed by streaming matmul when K is absent)."""
+        if self.vcov_c_factored is None:
+            return None
+        if self.K is not None:
+            return self.vcov_c_factored.quad_form_diag(self.K)
+        import jax.numpy as jnp
+        from .ops.matvec import kernel_matmul
+        Q = self.vcov_c_factored.Q
+        X_std = jnp.asarray((self.X - self.x_means) / self.x_sds, Q.dtype)
+        KQ = kernel_matmul(X_std, Q, self.sigma)
+        S = self.vcov_c_factored.spectrum
+        return self.vcov_c_factored.scale * jnp.sum(KQ * KQ * S[None, :],
+                                                    axis=1)
 
     @property
     def derivative_call(self) -> bool:

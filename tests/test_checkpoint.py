@@ -18,7 +18,9 @@ def _data(seed=0, n=50, p=3):
 def test_checkpoint_resume_identical(tmp_path):
     y, X = _data()
     d = str(tmp_path / "ck")
-    m1 = bk.fit(y, X, noisy=False, checkpoint_dir=d)
+    # noisy=True on both fits so the λ-search takes the same (host) loop —
+    # the device while_loop differs from it at the last ulp
+    m1 = bk.fit(y, X, noisy=True, checkpoint_dir=d, log=lambda s: None)
     assert os.path.exists(os.path.join(d, "eig_meta.json"))
     logs = []
     m2 = bk.fit(y, X, noisy=True, checkpoint_dir=d, log=logs.append)

@@ -70,3 +70,16 @@ def test_user_bounds_respected(rng):
     eig = eigensystem(gauss_kernel(jnp.asarray(X), float(p)))
     lam = lambda_search(eig, jnp.asarray(y), L=0.5, U=2.0, tol=1e-8)
     assert 0.5 <= lam <= 2.0
+
+
+def test_device_and_host_loops_agree(rng):
+    n, p = 60, 3
+    X = rng.normal(size=(n, p))
+    X = (X - X.mean(0)) / X.std(0, ddof=1)
+    y = np.sin(X[:, 0]) + 0.4 * rng.normal(size=n)
+    y = (y - y.mean()) / y.std(ddof=1)
+    eig = eigensystem(gauss_kernel(jnp.asarray(X), float(p)))
+    lam_dev = lambda_search(eig, jnp.asarray(y), tol=1e-8, device_loop=True)
+    lam_host = lambda_search(eig, jnp.asarray(y), tol=1e-8,
+                             device_loop=False)
+    assert abs(lam_dev - lam_host) < 1e-9 * max(1.0, lam_host)

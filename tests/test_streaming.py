@@ -1,0 +1,103 @@
+"""Kernel-free (streaming) path: K @ V products without materializing K,
+streaming truncated eigensystem, and the full streaming fit vs the dense
+fit — the framework's answer to the reference's 5N²-doubles memory wall."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bigkrls_tpu as bk
+from bigkrls_tpu.ops.eig import eigensystem, eigensystem_streaming
+from bigkrls_tpu.ops.kernels import gauss_kernel
+from bigkrls_tpu.ops.matvec import kernel_matmul
+from bigkrls_tpu.ops.stats import neffective_acf
+
+
+def _xy(rng, n=96, p=4, binary=True):
+    X = rng.normal(size=(n, p))
+    if binary:
+        X[:, 2] = (X[:, 2] > 0.1).astype(float)
+    y = np.sin(X[:, 0]) + X @ np.ones(p) + 0.3 * rng.normal(size=n)
+    return np.asarray(y), X
+
+
+def test_kernel_matmul_matches_dense(rng):
+    n, p, m = 100, 5, 7
+    X = rng.normal(size=(n, p))
+    X = (X - X.mean(0)) / X.std(0, ddof=1)
+    V = rng.normal(size=(n, m))
+    K = np.asarray(gauss_kernel(jnp.asarray(X), float(p)))
+    Y = kernel_matmul(jnp.asarray(X), jnp.asarray(V), float(p), block=32)
+    assert np.max(np.abs(np.asarray(Y) - K @ V)) < 1e-10
+
+
+def test_kernel_matmul_ragged_block(rng):
+    n, p, m = 53, 3, 2   # n not a multiple of block
+    X = rng.normal(size=(n, p))
+    V = rng.normal(size=(n, m))
+    K = np.asarray(gauss_kernel(jnp.asarray(X), float(p)))
+    Y = kernel_matmul(jnp.asarray(X), jnp.asarray(V), float(p), block=16)
+    assert np.max(np.abs(np.asarray(Y) - K @ V)) < 1e-10
+
+
+def test_streaming_eigensystem_matches_materialized(rng):
+    n, p, k = 120, 4, 12
+    X = rng.normal(size=(n, p))
+    X = (X - X.mean(0)) / X.std(0, ddof=1)
+    K = gauss_kernel(jnp.asarray(X), float(p))
+    full = eigensystem(K, method="full")
+    stream = eigensystem_streaming(jnp.asarray(X), float(p), neig=k,
+                                   iters=30)
+    vf = np.asarray(full.values_full)[:k]
+    vs = np.asarray(stream.values_full)
+    assert np.max(np.abs(vf - vs) / np.abs(vf)) < 1e-6
+
+
+def test_streaming_fit_matches_dense_fit(rng):
+    y, X = _xy(rng)
+    n = len(y)
+    k = 40
+    # same truncation, same algorithm family on both sides: dense subspace
+    # vs kernel-free subspace; spectra decay fast so k=40 carries the fit
+    m_dense = bk.fit(y, X, neig=k, eig_method="subspace", noisy=False)
+    m_stream = bk.fit(y, X, neig=k, streaming=True, noisy=False)
+    assert m_stream.K is None
+    assert abs(m_dense.lambda_ - m_stream.lambda_) < 1e-5 * m_dense.lambda_
+    assert np.max(np.abs(m_dense.coeffs - m_stream.coeffs)) < 1e-6
+    assert np.max(np.abs(m_dense.yfitted - m_stream.yfitted)) < 1e-6
+    assert np.max(np.abs(m_dense.derivatives - m_stream.derivatives)) < 1e-5
+    assert np.allclose(m_dense.var_avgderivatives,
+                       m_stream.var_avgderivatives, rtol=1e-5)
+    assert abs(m_dense.R2 - m_stream.R2) < 1e-8
+
+
+def test_streaming_fit_predict_save_load(tmp_path, rng):
+    y, X = _xy(rng, n=80)
+    m = bk.fit(y, X, neig=30, streaming=True, noisy=False)
+    pred = bk.predict(m, X[:9], se_pred=True)
+    assert pred.predicted.shape == (9,)
+    assert np.max(np.abs(pred.predicted - m.yfitted[:9])) < 1e-6
+    d = m.vcov_fitted_diag()
+    assert d.shape == (80,) and (np.asarray(d) > 0).all()
+    folder = bk.save_model(m, str(tmp_path / "sm"))
+    m2 = bk.load_model(folder)
+    assert m2.K is None
+    assert np.allclose(m2.coeffs, m.coeffs)
+    p2 = bk.predict(m2, X[:9], se_pred=True)
+    assert np.allclose(p2.predicted, pred.predicted)
+    assert np.allclose(p2.se_pred, pred.se_pred)
+
+
+def test_streaming_requires_truncation(rng):
+    y, X = _xy(rng, n=40)
+    with pytest.raises(ValueError, match="neig"):
+        bk.fit(y, X, streaming=True, noisy=False)
+
+
+def test_blocked_acf_matches_dense(rng):
+    n, p = 300, 5
+    X = rng.normal(size=(n, p))
+    Xs = jnp.asarray((X - X.mean(0)) / X.std(0, ddof=1))
+    dense = float(neffective_acf(Xs))
+    blocked = float(neffective_acf(Xs, block=64))
+    assert abs(dense - blocked) < 1e-8
