@@ -77,7 +77,7 @@ def check_data(y, X, **kwargs) -> None:
     _validate(X, y)
 
 
-def fit(
+def _fit_impl(
     y,
     X,
     *,
@@ -131,6 +131,14 @@ def fit(
       past single-chip HBM.
     """
     t0 = time.time()
+    _phases = []
+    _last = [t0]
+
+    def _mark(name):
+        now = time.time()
+        _phases.append({"phase": name, "seconds": round(now - _last[0], 4)})
+        _last[0] = now
+
     X_np = _as_2d(X)
     y_np = np.asarray(y).reshape(-1)
     n, p = X_np.shape
@@ -221,6 +229,8 @@ def fit(
         else:
             K = gauss_kernel(X_std, sigma)
 
+    _mark("kernel")
+
     # ---- step 2: eigendecomposition (checkpointable, SURVEY.md §5.4) ----
     if noisy:
         log(f"Step 2/5: Spectral decomposition (t+{time.time() - t0:.1f}s)")
@@ -245,6 +255,8 @@ def fit(
             from . import checkpoint as ckpt
             ckpt.save_eig(checkpoint_dir, ckpt_fp, eig)
 
+    _mark("eigendecomposition")
+
     # ---- step 3: λ search ----
     if tol is None:
         tol = n / 1000.0
@@ -256,6 +268,7 @@ def fit(
     elif noisy:
         log("Skipping step 3/5, proceeding with user-inputted lambda.")
 
+    _mark("lambda_search")
     neff = neffective_spectral(eig.values_full, lambda_, n)
     if noisy:
         log(f"Effective sample size: {neff:.2f}")
@@ -276,6 +289,8 @@ def fit(
         spectrum = sigmasq / (eig.values + lambda_) ** 2   # (k,) Var(c) filter
     else:
         spectrum = None
+
+    _mark("coefficients")
 
     # ---- step 5: marginal effects ----
     derivatives = avgderiv = varavgderiv = None
@@ -311,6 +326,7 @@ def fit(
         varavgderiv = np.asarray(varavg_std, dtype=np.float64) * sd_ratio ** 2
         avgderiv = derivatives.mean(axis=0)
 
+    _mark("derivatives")
     neff_acf = None
     if acf:
         if noisy:
@@ -353,10 +369,24 @@ def fit(
         y_sd=y_init_sd,
         x_means=np.asarray(x_means, dtype=np.float64),
         x_sds=x_init_sds,
+        timings=_phases,
     )
     if noisy:
         log(f"Done (t+{time.time() - t0:.1f}s)")
     return model
+
+
+def fit(y, X, *, precision: str = "highest", **kwargs) -> KRLSModel:
+    """Fit a KRLS model (see ``_fit_impl`` for the full argument list).
+
+    ``precision`` sets ``jax.default_matmul_precision`` for the whole
+    pipeline.  The default "highest" forces true-f32 MXU passes on TPU:
+    with the hardware default ("fastest", bf16 multiplications) the kernel
+    entries carry ~1e-3 error, visibly perturbing coefficients and
+    p-values.  Set "default"/"fastest" only for exploratory runs.
+    """
+    with jax.default_matmul_precision(precision):
+        return _fit_impl(y, X, **kwargs)
 
 
 # R-flavored alias matching the reference entry point name

@@ -91,7 +91,8 @@ def _gauss_tile_kernel(sigma_ref, xi_ref, xj_ref, out_ref):
         xi, xj,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                          # (T, T) = Xi Xjᵀ
+        precision=jax.lax.Precision.HIGHEST,  # true f32 — bf16 MXU passes
+    )                          # (T, T) = Xi Xjᵀ    put ~1e-3 error in K
     ri = jnp.sum(xi * xi, axis=1, keepdims=True)
     rj = jnp.sum(xj * xj, axis=1, keepdims=True)
     d2 = jnp.maximum(ri + rj.T - 2.0 * g, 0.0)

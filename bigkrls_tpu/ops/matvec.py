@@ -81,11 +81,13 @@ def _km_kernel(sigma_ref, xi_ref, xj_ref, vj_ref, out_ref):
     xj = xj_ref[:]
     g = jax.lax.dot_general(
         xi, xj, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     ri = jnp.sum(xi * xi, axis=1, keepdims=True)
     rj = jnp.sum(xj * xj, axis=1, keepdims=True)
     tile = jnp.exp(-jnp.maximum(ri + rj.T - 2.0 * g, 0.0) / sigma_ref[0])
-    contrib = jnp.dot(tile, vj_ref[:], preferred_element_type=jnp.float32)
+    contrib = jnp.dot(tile, vj_ref[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(j == 0)
     def _():

@@ -75,7 +75,8 @@ def _fit_core(X_std, y_std, lam, sigma, binary_mask, constrain=None):
 @functools.partial(jax.jit, static_argnames=("sigma",))
 def fit_step(X_std, y_std, lam, binary_mask, sigma: float):
     """Single-chip jittable KRLS fit core (post-standardization)."""
-    return _fit_core(X_std, y_std, lam, sigma, binary_mask)
+    with jax.default_matmul_precision("highest"):
+        return _fit_core(X_std, y_std, lam, sigma, binary_mask)
 
 
 def build_sharded_fit_step(mesh: Mesh, sigma: float):
@@ -87,8 +88,9 @@ def build_sharded_fit_step(mesh: Mesh, sigma: float):
             a, NamedSharding(mesh, P(*spec)))
 
     def step(X_std, y_std, lam, binary_mask):
-        return _fit_core(X_std, y_std, lam, sigma, binary_mask,
-                         constrain=constrain)
+        with jax.default_matmul_precision("highest"):
+            return _fit_core(X_std, y_std, lam, sigma, binary_mask,
+                             constrain=constrain)
 
     in_shardings = (
         NamedSharding(mesh, P("i", None)),   # X

@@ -36,7 +36,8 @@ def make_ring_mesh(devices=None) -> Mesh:
 def _tile(Xa, Xb, sigma):
     ra = jnp.sum(Xa * Xa, axis=1)
     rb = jnp.sum(Xb * Xb, axis=1)
-    d2 = jnp.maximum(ra[:, None] + rb[None, :] - 2.0 * (Xa @ Xb.T), 0.0)
+    g = jnp.matmul(Xa, Xb.T, precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(ra[:, None] + rb[None, :] - 2.0 * g, 0.0)
     return jnp.exp(-d2 / sigma)
 
 

@@ -37,6 +37,21 @@ def predict(
     correct_SE: bool = True,
     ytest=None,
     materialize_vcov: bool = False,
+    precision: str = "highest",
+) -> KRLSPrediction:
+    import jax
+    with jax.default_matmul_precision(precision):
+        return _predict_impl(model, newdata, se_pred, correct_SE, ytest,
+                             materialize_vcov)
+
+
+def _predict_impl(
+    model: KRLSModel,
+    newdata,
+    se_pred: bool,
+    correct_SE: bool,
+    ytest,
+    materialize_vcov: bool,
 ) -> KRLSPrediction:
     newdata_np = np.asarray(newdata, dtype=np.float64)
     if newdata_np.ndim == 1:

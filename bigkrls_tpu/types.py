@@ -145,6 +145,9 @@ class KRLSModel:
     x_means: Array
     x_sds: Array
     path: Optional[str] = None
+    # wall-clock per pipeline phase (observability the reference lacks,
+    # SURVEY.md §5.1): [{"phase": ..., "seconds": ...}, ...]
+    timings: Optional[list] = None
 
     @property
     def n(self) -> int:

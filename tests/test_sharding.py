@@ -90,3 +90,18 @@ def test_dryrun_multichip_entrypoint():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out.looloss))
+
+
+def test_streaming_fit_with_mesh(mesh):
+    """Composition: kernel-free streaming products under a device mesh —
+    X row-sharded, the scan's rank-P GEMMs shard with it."""
+    rng = np.random.default_rng(3)
+    n, p = 64, 3
+    X = rng.normal(size=(n, p))
+    y = np.asarray(X @ np.ones(p) + 0.2 * rng.normal(size=n))
+    m1 = bk.fit(y, X, neig=20, streaming=True, noisy=False)
+    m2 = bk.fit(y, X, neig=20, streaming=True, noisy=False, mesh=mesh)
+    assert m2.K is None
+    assert abs(m1.lambda_ - m2.lambda_) < 1e-8 * max(1.0, m1.lambda_)
+    assert np.max(np.abs(m1.coeffs - m2.coeffs)) < 1e-8
+    assert np.max(np.abs(m1.derivatives - m2.derivatives)) < 1e-7
