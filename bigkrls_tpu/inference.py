@@ -20,7 +20,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .ops.stats import neffective_acf, two_sided_p, standardize
+from .ops.stats import neffective_acf, two_sided_p
 from .types import KRLSModel
 
 

@@ -26,7 +26,7 @@ final bounds, O(log N) device reductions instead of O(N) host iterations.
 """
 from __future__ import annotations
 
-import math
+
 from typing import Callable, Optional
 
 import jax.numpy as jnp

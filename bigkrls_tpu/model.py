@@ -38,7 +38,7 @@ from .ops.kernels import gauss_kernel, gauss_kernel_pallas
 from .ops.matvec import kernel_matmul, kernel_matmul_pallas
 from .ops.solve import solve_for_c
 from .ops.stats import neffective_acf, neffective_spectral, standardize
-from .types import Eigensystem, FactoredCovariance, KRLSModel
+from .types import FactoredCovariance, KRLSModel
 
 
 def _as_2d(X) -> np.ndarray:
@@ -376,7 +376,9 @@ def _fit_impl(
     return model
 
 
-def fit(y, X, *, precision: str = "highest", **kwargs) -> KRLSModel:
+def fit(y, X, *, precision: str = "highest",
+        model_subfolder_name: Optional[str] = None,
+        overwrite_existing: bool = False, **kwargs) -> KRLSModel:
     """Fit a KRLS model (see ``_fit_impl`` for the full argument list).
 
     ``precision`` sets ``jax.default_matmul_precision`` for the whole
@@ -384,9 +386,20 @@ def fit(y, X, *, precision: str = "highest", **kwargs) -> KRLSModel:
     with the hardware default ("fastest", bf16 multiplications) the kernel
     entries carry ~1e-3 error, visibly perturbing coefficients and
     p-values.  Set "default"/"fastest" only for exploratory runs.
+
+    ``model_subfolder_name`` saves the fitted model to that folder before
+    returning — the reference's save-during-fit option
+    (``R/bigKRLS.R:111-133, 471-503``), with the same
+    auto-increment-on-collision behavior unless ``overwrite_existing``.
     """
     with jax.default_matmul_precision(precision):
-        return _fit_impl(y, X, **kwargs)
+        model = _fit_impl(y, X, **kwargs)
+    if model_subfolder_name is not None:
+        from .persistence import save_model
+        folder = save_model(model, model_subfolder_name,
+                            overwrite_existing=overwrite_existing)
+        model.path = folder
+    return model
 
 
 # R-flavored alias matching the reference entry point name

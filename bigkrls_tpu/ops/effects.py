@@ -57,7 +57,7 @@ vs explicit toggled-kernel predictions in ``tests/test_effects.py``):
 """
 from __future__ import annotations
 
-import functools
+
 from typing import Callable, NamedTuple
 
 import jax

@@ -22,7 +22,7 @@ Equivalent of ``save.bigKRLS`` / ``load.bigKRLS`` and their helpers
 """
 from __future__ import annotations
 
-import dataclasses
+
 import json
 import os
 from typing import Any, Dict, Optional

@@ -21,7 +21,7 @@ SURVEY.md §3.2):
 """
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax.numpy as jnp
 import numpy as np

@@ -141,3 +141,16 @@ def test_plot_effects(tmp_path):
     m = bk.fit(y, X, xlabs=labs, noisy=False)
     out = bk.plot_effects(m, dydx=4, save_to=str(tmp_path / "fx.png"))
     assert os.path.exists(out)
+
+
+def test_fit_save_during_fit(tmp_path):
+    """Reference's model_subfolder_name save-during-fit (bigKRLS.R:111-133)."""
+    y, X, labs = mtcars_xy()
+    target = str(tmp_path / "during")
+    m = bk.fit(y, X, noisy=False, model_subfolder_name=target)
+    assert m.path == target
+    loaded = bk.load_model(target)
+    assert np.allclose(loaded.coeffs, m.coeffs)
+    # collision -> integer suffix unless overwrite
+    m2 = bk.fit(y, X, noisy=False, model_subfolder_name=target)
+    assert m2.path == target + "1"

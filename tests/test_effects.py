@@ -162,7 +162,38 @@ def test_continuous_derivative_matches_finite_difference(rng):
             kp = np.exp(-np.sum((xp[None, :] - X) ** 2, axis=1) / sigma)
             km = np.exp(-np.sum((xm[None, :] - X) ** 2, axis=1) / sigma)
             fd = (kp @ c - km @ c) / (2 * eps)
-            # the pointwise derivative excludes x_i's own contribution to the
-            # surface? No: it differentiates through k(x, x_i) too, including
-            # the i==k term, same as the closed form. Compare directly.
             assert abs(deriv[i, j] - fd) < 1e-5
+
+
+def test_binary_fuzz_many_patterns(rng):
+    """Fuzz the binary first-difference path over random binary patterns,
+    levels, and bandwidths (SURVEY.md §7 hard part #3)."""
+    for seed in range(5):
+        gen = np.random.default_rng(seed)
+        n = 40
+        frac = gen.uniform(0.15, 0.85)
+        levels = sorted(gen.normal(size=2))
+        xb = np.where(gen.uniform(size=n) < frac, levels[1], levels[0])
+        if np.unique(xb).size < 2:
+            continue
+        X = np.column_stack([gen.normal(size=n), xb])
+        X = (X - X.mean(0)) / X.std(0, ddof=1)
+        sigma = float(gen.uniform(0.5, 6.0))
+        K = np.asarray(gauss_kernel(jnp.asarray(X), sigma))
+        c = np.linalg.solve(K + 0.3 * np.eye(n), gen.normal(size=n))
+        eig = eigensystem(jnp.asarray(K))
+        spectrum = 0.5 / (np.asarray(eig.values) + 0.3) ** 2
+        binary = np.array([False, True])
+        z0 = X.min(axis=0)
+        z1 = X.max(axis=0)
+        res = derivatives_all(
+            jnp.asarray(X), jnp.asarray(K), jnp.asarray(c), eig.vectors,
+            jnp.asarray(spectrum), sigma, jnp.asarray(binary),
+            jnp.asarray(z0), jnp.asarray(z1))
+        deriv = np.asarray(res.derivatives)
+        ref = _naive_binary(X, K, c, 1, sigma)
+        assert np.max(np.abs(deriv[:, 1] - ref)) < 1e-9, f"seed {seed}"
+        V = (np.asarray(eig.vectors) * spectrum) @ np.asarray(eig.vectors).T
+        ref_var = _naive_binary_var(X, K, V, 1, sigma)
+        assert abs(float(res.var_avgderiv[1]) - ref_var) < 1e-9 * max(
+            1.0, abs(ref_var)), f"seed {seed}"
