@@ -102,6 +102,8 @@ def _fit_impl(
     streaming: Optional[bool] = None,
     streaming_threshold: int = 32768,
     eig_iters: int = 12,
+    ncores: Optional[int] = None,
+    instructions: bool = False,
     log: Callable[[str], None] = print,
 ) -> KRLSModel:
     """Fit a KRLS model.  Signature follows the reference's ``bigKRLS()``
@@ -155,6 +157,12 @@ def _fit_impl(
     _validate(X_np, y_np)
 
     noisy = (n > 2000) if noisy is None else bool(noisy)
+    if ncores is not None and noisy:
+        # reference signature compatibility: Ncores sized the derivative
+        # worker pool (R/bigKRLS.R:257); there is no process pool here —
+        # all columns run in one fused device program.
+        log("Note: ncores is accepted for reference-API compatibility but "
+            "has no effect (no process pool on TPU).")
     acf = bool(acf) and p > 2
 
     neig = n if neig is None else min(n, int(neig))
@@ -373,6 +381,13 @@ def _fit_impl(
     )
     if noisy:
         log(f"Done (t+{time.time() - t0:.1f}s)")
+    if instructions:
+        # post-fit usage help, as in the reference (R/bigKRLS.R:511)
+        log("All done. You may wish to use bigkrls_tpu.summary() for "
+            "detail, bigkrls_tpu.predict() for out-of-sample forecasts, "
+            "bigkrls_tpu.plot_effects() to visualize results, "
+            "bigkrls_tpu.crossvalidate() for CV, and "
+            "bigkrls_tpu.save_model()/load_model() for persistence.")
     return model
 
 
