@@ -133,7 +133,9 @@ def main():
             y2 = np.sin(X2[:, 0]) + X2 @ (0.2 * np.ones(p2)) + \
                 rng.normal(size=n2)
             kw = dict(neig=500, streaming=True, noisy=False,
-                      which_derivatives=[0, 1, 2, 3, 4])
+                      which_derivatives=[0, 1, 2, 3, 4],
+                      fast_eig_power=True)  # validated: λ identical,
+            #                                 AME/coeff shift ~1e-6
             t = time.time()
             bk.fit(y2, X2, **kw)
             cold = time.time() - t

@@ -102,6 +102,7 @@ def _fit_impl(
     streaming: Optional[bool] = None,
     streaming_threshold: int = 32768,
     eig_iters: int = 12,
+    fast_eig_power: bool = False,
     ncores: Optional[int] = None,
     instructions: bool = False,
     log: Callable[[str], None] = print,
@@ -255,7 +256,8 @@ def _fit_impl(
         if streaming:
             eig = eigensystem_streaming(X_std, sigma, neig=neig,
                                         eigtrunc=eigtrunc, iters=eig_iters,
-                                        matmul=km)
+                                        matmul=km,
+                                        fast_power=fast_eig_power)
         else:
             eig = eigensystem(K, neig=neig, eigtrunc=eigtrunc,
                               method=eig_method)

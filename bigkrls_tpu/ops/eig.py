@@ -118,19 +118,29 @@ def _lanczos(K, key, k: int):
     return evals[:k], vecs
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters", "matmul"))
-def _subspace_iteration_matvec(X, key, sigma, k: int, iters: int, matmul):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "iters", "matmul", "power_matmul"))
+def _subspace_iteration_matvec(X, key, sigma, k: int, iters: int, matmul,
+                               power_matmul=None):
     """Kernel-free subspace iteration: K is never materialized; each step
     is one streaming K@V product (``ops/matvec.py``).  This is the
     eigensolver for N past single-chip HBM (SURVEY.md §7 hard part #1 /
-    #4): storage is O(N·q), FLOPs 2N²(P+q) per iteration on the MXU."""
+    #4): storage is O(N·q), FLOPs 2N²(P+q) per iteration on the MXU.
+
+    ``power_matmul`` optionally runs the POWER iterations with a cheaper
+    (reduced-accumulation) product — subspace iteration is self-correcting
+    (each QR re-orthonormalizes; accumulation noise only perturbs the
+    not-yet-converged directions) — while the final Rayleigh–Ritz products
+    always use the full-precision ``matmul``."""
+    if power_matmul is None:
+        power_matmul = matmul
     n = X.shape[0]
     q = min(n, k + min(k, 32) + 8)
     V = jax.random.normal(key, (n, q), dtype=X.dtype)
     V, _ = jnp.linalg.qr(V)
 
     def body(V, _):
-        W = matmul(X, V, sigma)
+        W = power_matmul(X, V, sigma)
         V, _ = jnp.linalg.qr(W)
         return V, None
 
@@ -152,20 +162,31 @@ def eigensystem_streaming(
     iters: int = 12,
     seed: int = 0,
     matmul=None,
+    fast_power: bool = False,
 ) -> Eigensystem:
     """Truncated eigensystem of the (never-materialized) kernel of X_std.
 
     Same conventions as :func:`eigensystem` (descending values, negated
     vectors, lastkeeper truncation of the vectors only).  ``neig`` must be
-    < N (streaming a full decomposition makes no sense)."""
-    from .matvec import kernel_matmul
+    < N (streaming a full decomposition makes no sense).
+
+    ``fast_power=True`` runs the power iterations with reduced-precision
+    MXU accumulation (Pallas backend only) — ~3-6× faster products with
+    the final Rayleigh–Ritz still at full f32; validate against your
+    tolerance before enabling for inference-critical runs."""
+    from .matvec import (kernel_matmul, kernel_matmul_pallas,
+                         kernel_matmul_pallas_fast)
     if matmul is None:
         matmul = kernel_matmul
+    power_matmul = None
+    if fast_power and matmul is kernel_matmul_pallas:
+        power_matmul = kernel_matmul_pallas_fast
     n = X_std.shape[0]
     neig = min(int(neig), n)
     key = jax.random.PRNGKey(seed)
     vals, vecs = _subspace_iteration_matvec(X_std, key, sigma, neig, iters,
-                                            matmul)
+                                            matmul,
+                                            power_matmul=power_matmul)
     vecs = -vecs
     vals_np = np.asarray(jax.device_get(vals))
     if np.any(np.isnan(vals_np)):

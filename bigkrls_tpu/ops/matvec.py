@@ -75,10 +75,13 @@ def kernel_matmul(X, V, sigma, block: int = 1024):
     return Y[:n]
 
 
-def _km_kernel(sigma_ref, xi_ref, xj_ref, vj_ref, out_ref):
+def _km_kernel(sigma_ref, xi_ref, xj_ref, vj_ref, out_ref, *,
+               precision=jax.lax.Precision.HIGHEST):
     j = pl.program_id(1)
     xi = xi_ref[:]
     xj = xj_ref[:]
+    # the rank-P distance contraction always runs true-f32 (HIGHEST):
+    # errors here sit inside exp() and distort K itself
     g = jax.lax.dot_general(
         xi, xj, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -86,8 +89,10 @@ def _km_kernel(sigma_ref, xi_ref, xj_ref, vj_ref, out_ref):
     ri = jnp.sum(xi * xi, axis=1, keepdims=True)
     rj = jnp.sum(xj * xj, axis=1, keepdims=True)
     tile = jnp.exp(-jnp.maximum(ri + rj.T - 2.0 * g, 0.0) / sigma_ref[0])
+    # the tile@V contraction may run at reduced precision (subspace power
+    # iterations are self-correcting; see eig._subspace_iteration_matvec)
     contrib = jnp.dot(tile, vj_ref[:], preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=precision)
 
     @pl.when(j == 0)
     def _():
@@ -98,8 +103,9 @@ def _km_kernel(sigma_ref, xi_ref, xj_ref, vj_ref, out_ref):
         out_ref[:] = out_ref[:] + contrib
 
 
-@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j"))
-def kernel_matmul_pallas(X, V, sigma, tile_i: int = 256, tile_j: int = 512):
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "fast_accum"))
+def kernel_matmul_pallas(X, V, sigma, tile_i: int = 256, tile_j: int = 512,
+                         fast_accum: bool = False):
     """Pallas TPU version: K tiles live only in VMEM; output tiles are
     accumulated across the j grid dimension (j varies fastest, so each
     (i) output block stays resident while its row of tiles streams)."""
@@ -115,9 +121,14 @@ def kernel_matmul_pallas(X, V, sigma, tile_i: int = 256, tile_j: int = 512):
     Vp = jnp.zeros((npad, mpad), jnp.float32).at[:n, :m].set(V)
     sig = jnp.asarray([sigma], jnp.float32)
 
+    import functools as _ft
+    kern = _ft.partial(
+        _km_kernel,
+        precision=(jax.lax.Precision.DEFAULT if fast_accum
+                   else jax.lax.Precision.HIGHEST))
     grid = (npad // tile_i, npad // tile_j)
     out = pl.pallas_call(
-        _km_kernel,
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -138,3 +149,9 @@ def kernel_matmul_pallas(X, V, sigma, tile_i: int = 256, tile_j: int = 512):
         ),
     )(sig, Xp, Xp, Vp)
     return out[:n, :m]
+
+
+# module-level alias (stable hash for jit static args — a fresh
+# functools.partial per call would defeat the compile cache)
+kernel_matmul_pallas_fast = functools.partial(kernel_matmul_pallas,
+                                              fast_accum=True)
