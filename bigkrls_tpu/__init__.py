@@ -18,6 +18,7 @@ Public API (reference equivalents in parentheses):
 * ``summary_cv``                   (``summary.bigKRLS_CV``)
 * ``save_model`` / ``load_model``  (``save.bigKRLS`` / ``load.bigKRLS``)
 * ``plot_effects``                 (``shiny.bigKRLS`` — static/notebook plot)
+* ``effects_explorer``             (``shiny.bigKRLS`` — interactive HTML app)
 * ``enable_x64``                   parity-mode helper (f64 everywhere)
 """
 from __future__ import annotations
@@ -45,6 +46,7 @@ def enable_x64() -> None:
 # deliberately shadows its submodule in the package namespace
 from .crossvalidate import KRLSCrossValidation, summary_cv
 from .crossvalidate import crossvalidate as _crossvalidate_fn
+from .explorer import effects_explorer
 from .persistence import load_model, save_model
 from .plotting import export_effects, plot_effects
 

@@ -143,6 +143,40 @@ def test_plot_effects(tmp_path):
     assert os.path.exists(out)
 
 
+def test_effects_explorer_html(tmp_path):
+    """Interactive-explorer export (Shiny-app replacement, P6): the written
+    file must be self-contained, carry a valid embedded payload with one
+    series per estimated derivative, and flag binary columns."""
+    import json
+    import re
+
+    y, X, labs = mtcars_xy()
+    m = bk.fit(y, X, xlabs=labs, noisy=False)
+    out = bk.effects_explorer(m, str(tmp_path / "fx.html"))
+    doc = open(out, encoding="utf-8").read()
+    assert "<script src" not in doc          # no external assets
+    payload = json.loads(
+        re.search(r"const DATA = (\{.*?\});\n", doc, re.S).group(1))
+    assert payload["N"] == len(y) == payload["points"]
+    assert not payload["subsampled"]
+    assert len(payload["D"]) == m.derivatives.shape[1]
+    assert len(payload["X"]) == X.shape[1]
+    assert len(payload["X"][0]) == len(y)
+    # binary columns carry the reference's '*' first-difference flag
+    import numpy as _np
+    for lab, is_bin in zip(payload["dlabels"], m.binaryindicator):
+        assert lab.endswith("*") == bool(is_bin)
+    assert _np.isfinite(_np.asarray(payload["ame"])).all()
+
+    # large-N subsampling is deterministic and stated
+    m2 = bk.fit(y, X, noisy=False)
+    out2 = bk.effects_explorer(m2, str(tmp_path / "fx2.html"), max_points=16)
+    doc2 = open(out2, encoding="utf-8").read()
+    p2 = json.loads(re.search(r"const DATA = (\{.*?\});\n", doc2,
+                              re.S).group(1))
+    assert p2["subsampled"] and p2["points"] == 16 and p2["N"] == len(y)
+
+
 def test_fit_save_during_fit(tmp_path):
     """Reference's model_subfolder_name save-during-fit (bigKRLS.R:111-133)."""
     y, X, labs = mtcars_xy()
