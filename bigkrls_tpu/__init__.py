@@ -42,12 +42,15 @@ def enable_x64() -> None:
     _jax.config.update("jax_enable_x64", True)
 
 
-# note: persistence imports crossvalidate, and the `crossvalidate` function
-# deliberately shadows its submodule in the package namespace
+# note: persistence imports crossvalidate, and the `crossvalidate` and
+# `reducibility` functions deliberately shadow their submodules in the
+# package namespace
 from .crossvalidate import KRLSCrossValidation, summary_cv
 from .crossvalidate import crossvalidate as _crossvalidate_fn
 from .explorer import effects_explorer
 from .persistence import load_model, save_model
 from .plotting import export_effects, plot_effects
+from .reducibility import reducibility as _reducibility_fn
 
 crossvalidate = _crossvalidate_fn
+reducibility = _reducibility_fn
