@@ -29,6 +29,11 @@ def _add_fit_args(p):
     p.add_argument("--neig", type=int, default=None)
     p.add_argument("--eigtrunc", type=float, default=None)
     p.add_argument("--no-derivative", action="store_true")
+    p.add_argument("--no-vcov", action="store_true",
+                   help="skip covariance estimation entirely (requires "
+                        "--no-derivative) — the reference's "
+                        "derivative=FALSE, vcov.est=FALSE fast path "
+                        "(R/bigKRLS.R:238-240): yhat only, no SEs")
     p.add_argument("--which-derivatives", type=str, default=None,
                    help="comma-separated 0-based column indices")
     p.add_argument("--acf", action="store_true")
@@ -44,7 +49,15 @@ def _fit_kwargs(args):
               noisy=args.noisy or None)
     if args.no_derivative:
         kw["derivative"] = False
-        kw["vcov_est"] = True
+        # vcov stays on by default (the reference's default vcov.est=TRUE);
+        # --no-vcov expresses the derivative=FALSE, vcov.est=FALSE fast
+        # path (R/bigKRLS.R:238-240 only *requires* vcov when derivatives
+        # are on)
+        kw["vcov_est"] = not args.no_vcov
+    elif getattr(args, "no_vcov", False):
+        raise SystemExit(
+            "--no-vcov requires --no-derivative (vcov_est is needed to "
+            "get derivatives)")
     if args.which_derivatives:
         kw["which_derivatives"] = [int(i) for i in
                                    args.which_derivatives.split(",")]

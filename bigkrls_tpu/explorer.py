@@ -36,7 +36,7 @@ _TEMPLATE = """<!doctype html>
 <head>
 <meta charset="utf-8">
 <meta name="viewport" content="width=device-width, initial-scale=1">
-<title>bigkrls_tpu — marginal effects explorer</title>
+<title>__TAB_TITLE__</title>
 <style>
   .viz-root {
     color-scheme: light;
@@ -130,7 +130,7 @@ _TEMPLATE = """<!doctype html>
 <body>
 <div class="viz-root">
   <div class="card">
-    <h1>Pointwise marginal effects</h1>
+    <h1>__PAGE_TITLE__</h1>
     <p class="sub" id="meta"></p>
     <div class="controls">
       <div class="ctl"><label for="dsel">marginal effect</label>
@@ -147,6 +147,11 @@ _TEMPLATE = """<!doctype html>
 <div id="tooltip"></div>
 <script>
 const DATA = __PAYLOAD__;
+// labels arrive RAW in the JSON payload; escape exactly once, at each
+// innerHTML sink (textContent sinks — the dropdowns, the meta line —
+// consume the raw strings directly)
+const esc = s => String(s).replace(/&/g, '&amp;').replace(/</g, '&lt;')
+  .replace(/>/g, '&gt;').replace(/"/g, '&quot;');
 const W = 820, H = 430, M = {t: 14, r: 16, b: 44, l: 58};
 const dsel = document.getElementById('dsel'),
       xsel = document.getElementById('xsel'),
@@ -247,8 +252,8 @@ function render() {
   const sy = v => H - M.b - (v - ylo) / (yhi - ylo) * (H - M.t - M.b);
 
   let s = `<svg viewBox="0 0 ${W} ${H}" role="img" ` +
-    `aria-label="pointwise marginal effect of ${DATA.dlabels[d]} vs ` +
-    `${DATA.xlabs[xcol]}">`;
+    `aria-label="pointwise marginal effect of ${esc(DATA.dlabels[d])} vs ` +
+    `${esc(DATA.xlabs[xcol])}">`;
   for (const t of niceTicks(ylo, yhi, 5)) {
     s += `<line x1="${M.l}" x2="${W - M.r}" y1="${sy(t)}" y2="${sy(t)}" ` +
          `stroke="var(--gridline)" stroke-width="1"/>` +
@@ -275,10 +280,10 @@ function render() {
       `" fill="none" stroke="var(--series-1-strong)" stroke-width="2"/>`;
   }
   s += `<text class="axis-label" x="${(M.l + W - M.r) / 2}" ` +
-       `y="${H - 8}" text-anchor="middle">${DATA.xlabs[xcol]}</text>`;
+       `y="${H - 8}" text-anchor="middle">${esc(DATA.xlabs[xcol])}</text>`;
   s += `<text class="axis-label" transform="rotate(-90)" ` +
        `x="${-(M.t + H - M.b) / 2}" y="14" text-anchor="middle">` +
-       `dy/d ${DATA.dlabels[d]}</text>`;
+       `dy/d ${esc(DATA.dlabels[d])}</text>`;
   s += `<circle id="hl" r="4.5" fill="var(--series-1)" stroke="var(--surface-1)" ` +
        `stroke-width="2" style="display:none"/>`;
   s += '</svg>';
@@ -298,7 +303,7 @@ function render() {
     const p = pts[best];
     hl.setAttribute('cx', p[0]); hl.setAttribute('cy', p[1]);
     hl.style.display = '';
-    tip.innerHTML = `<span class="tl">${DATA.xlabs[+xsel.value]}:</span> ` +
+    tip.innerHTML = `<span class="tl">${esc(DATA.xlabs[+xsel.value])}:</span> ` +
       `${fmt(p[2])}<br><span class="tl">dy/dx:</span> ${fmt(p[3])}`;
     tip.style.display = 'block';
     tip.style.left = (ev.clientX + 14) + 'px';
@@ -315,14 +320,14 @@ function renderTables() {
     '<tr><th>variable</th><th>estimate</th><th>std. error</th>' +
     '<th>t</th><th>Pr(&gt;|t|)</th></tr>';
   DATA.ame.forEach((row, i) => {
-    s += `<tr><td>${DATA.dlabels[i]}</td>` +
+    s += `<tr><td>${esc(DATA.dlabels[i])}</td>` +
       row.map(v => `<td>${fmt(v, 4)}</td>`).join('') + '</tr>';
   });
   s += '</table><table><caption>Percentiles of pointwise effects</caption>' +
     '<tr><th>variable</th>' +
     DATA.probs.map(q => `<th>${Math.round(q * 100)}%</th>`).join('') + '</tr>';
   DATA.pct.forEach((row, i) => {
-    s += `<tr><td>${DATA.dlabels[i]}</td>` +
+    s += `<tr><td>${esc(DATA.dlabels[i])}</td>` +
       row.map(v => `<td>${fmt(v, 4)}</td>`).join('') + '</tr>';
   });
   s += '</table>';
@@ -362,6 +367,10 @@ def effects_explorer(
     if model.derivatives is None:
         raise ValueError(
             "fit with derivative=True to explore marginal effects")
+    if np.asarray(model.derivatives).shape[1] == 0:
+        raise ValueError(
+            "the model's derivatives matrix has zero columns "
+            "(which_derivatives=[]); nothing to explore")
     which = (model.which_derivatives if model.which_derivatives is not None
              else list(range(model.p)))
     summ = _summary(model)
@@ -390,8 +399,10 @@ def effects_explorer(
         "R2": float(model.R2),
         "R2AME": None if model.R2AME is None else float(model.R2AME),
         "dof": float(summ.n_dof - model.p),
-        "xlabs": [html.escape(l) for l in model.xlabs],
-        "dlabels": [html.escape(l) for l in summ.labels],
+        # RAW labels: the template escapes once per sink (textContent
+        # consumes raw, innerHTML sinks run them through esc())
+        "xlabs": [str(l) for l in model.xlabs],
+        "dlabels": [str(l) for l in summ.labels],
         "which": [int(i) for i in which],
         "X": [_round(X[:, j]) for j in range(X.shape[1])],
         "D": [_round(D[:, d]) for d in range(D.shape[1])],
@@ -399,10 +410,14 @@ def effects_explorer(
         "pct": [[float(v) for v in row] for row in summ.percentiles],
         "probs": [float(q) for q in summ.probs],
     }
-    doc = _TEMPLATE.replace("__PAYLOAD__", json.dumps(payload))
-    if title:
-        doc = doc.replace("bigkrls_tpu — marginal effects explorer",
-                          html.escape(title))
+    # "<" is escaped so a label containing "</script>" cannot break out of
+    # the inline <script> block
+    doc = _TEMPLATE.replace("__PAYLOAD__",
+                            json.dumps(payload).replace("<", "\\u003c"))
+    tab = title if title else "bigkrls_tpu — marginal effects explorer"
+    page = title if title else "Pointwise marginal effects"
+    doc = doc.replace("__TAB_TITLE__", html.escape(tab))
+    doc = doc.replace("__PAGE_TITLE__", html.escape(page))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
         f.write(doc)

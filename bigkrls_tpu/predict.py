@@ -94,12 +94,26 @@ def _predict_impl(
             d = fac.quad_form_diag(Knew.T) * corr
             se = np.sqrt(np.asarray(d, dtype=np.float64))
 
+    pseudoR2 = mse = None
+    if ytest is not None:
+        ytest = np.asarray(ytest, np.float64).reshape(-1)
+        if ytest.shape[0] != ypred.shape[0]:
+            raise ValueError("ytest length differs from nrow(newdata)")
+        # out-of-sample metrics as the reference's CV driver computes them
+        # (R/bigKRLS.R:1293-1313): pseudo-R² = cor(pred, ytest)², MSE =
+        # mean squared prediction error
+        mse = float(np.mean((ytest - ypred) ** 2))
+        if ytest.std() > 0 and ypred.std() > 0:
+            pseudoR2 = float(np.corrcoef(ypred, ytest)[0, 1] ** 2)
+
     out = KRLSPrediction(
         predicted=ypred,
         se_pred=se,
         newdata=newdata_np,
         newdataK=np.asarray(Knew, dtype=np.float64),
-        ytest=None if ytest is None else np.asarray(ytest, np.float64).reshape(-1),
+        ytest=ytest,
         vcov_est_pred=vcov_pred,
+        pseudoR2=pseudoR2,
+        MSE=mse,
     )
     return out

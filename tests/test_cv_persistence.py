@@ -188,3 +188,74 @@ def test_fit_save_during_fit(tmp_path):
     # collision -> integer suffix unless overwrite
     m2 = bk.fit(y, X, noisy=False, model_subfolder_name=target)
     assert m2.path == target + "1"
+
+
+def test_effects_explorer_label_escaping_and_title(tmp_path):
+    """Labels are embedded RAW in the payload (escaped once per sink in
+    JS); ``title=`` rewrites both the tab <title> and the on-page <h1>
+    (advisor findings r01)."""
+    import json
+    import re
+
+    y, X, _ = mtcars_xy()
+    labs = [f"v{i} & <b>{i}</b>" for i in range(X.shape[1])]
+    m = bk.fit(y, X, xlabs=labs, noisy=False)
+    out = bk.effects_explorer(m, str(tmp_path / "fx.html"),
+                              title="My & <Title>")
+    doc = open(out, encoding="utf-8").read()
+    payload = json.loads(
+        re.search(r"const DATA = (\{.*?\});\n", doc, re.S).group(1))
+    # raw labels in the payload — no pre-escaped entities
+    assert payload["xlabs"][0] == "v0 & <b>0</b>"
+    assert "&amp;amp;" not in doc
+    # '<' is <-escaped inside the JSON so '</script>' can't break out
+    assert "<b>0</b></" not in doc.split("const DATA")[1].split(";\n")[0]
+    # title lands in BOTH the tab title and the visible heading, escaped
+    assert "<title>My &amp; &lt;Title&gt;</title>" in doc
+    assert "<h1>My &amp; &lt;Title&gt;</h1>" in doc
+    # default heading is intact when no title given
+    out2 = bk.effects_explorer(m, str(tmp_path / "fx2.html"))
+    doc2 = open(out2, encoding="utf-8").read()
+    assert "<h1>Pointwise marginal effects</h1>" in doc2
+
+
+def test_effects_explorer_zero_columns(tmp_path):
+    y, X, _ = mtcars_xy()
+    m = bk.fit(y, X, noisy=False, which_derivatives=[])
+    with pytest.raises(ValueError, match="zero columns"):
+        bk.effects_explorer(m, str(tmp_path / "fx.html"))
+
+
+def test_predict_oos_metrics():
+    """predict(..., ytest=...) populates pseudoR2/MSE exactly as the
+    reference's CV driver computes them (R/bigKRLS.R:1293-1313)."""
+    gen = np.random.default_rng(7)
+    n, p = 150, 3
+    X = gen.normal(size=(n, p))
+    y = np.asarray(X @ np.ones(p) + 0.2 * gen.normal(size=n))
+    m = bk.fit(y[:100], X[:100], noisy=False)
+    pred = bk.predict(m, X[100:], ytest=y[100:])
+    assert pred.MSE == pytest.approx(
+        float(np.mean((y[100:] - pred.predicted) ** 2)))
+    assert pred.pseudoR2 == pytest.approx(
+        float(np.corrcoef(pred.predicted, y[100:])[0, 1] ** 2))
+    assert 0.5 < pred.pseudoR2 <= 1.0
+    # persists through save/load
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        folder = bk.save_model(pred, os.path.join(d, "pred"))
+        back = bk.load_model(folder)
+        assert back.pseudoR2 == pytest.approx(pred.pseudoR2)
+        assert back.MSE == pytest.approx(pred.MSE)
+
+
+def test_pandas_column_labels():
+    pd = pytest.importorskip("pandas")
+    y, X, labs = mtcars_xy()
+    df = pd.DataFrame(X, columns=labs)
+    m = bk.fit(y, df, noisy=False, derivative=False)
+    assert list(m.xlabs) == list(labs)
+    # explicit xlabs still wins
+    m2 = bk.fit(y, df, noisy=False, derivative=False,
+                xlabs=[f"c{i}" for i in range(X.shape[1])])
+    assert m2.xlabs[0] == "c0"
