@@ -118,37 +118,36 @@ def _lanczos(K, key, k: int):
     return evals[:k], vecs
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "iters", "matmul", "power_matmul"))
-def _subspace_iteration_matvec(X, key, sigma, k: int, iters: int, matmul,
-                               power_matmul=None):
-    """Kernel-free subspace iteration: K is never materialized; each step
-    is one streaming K@V product (``ops/matvec.py``).  This is the
-    eigensolver for N past single-chip HBM (SURVEY.md §7 hard part #1 /
-    #4): storage is O(N·q), FLOPs 2N²(P+q) per iteration on the MXU.
+@functools.partial(jax.jit, static_argnames=("q",))
+def _subspace_init(X, key, q: int):
+    V = jax.random.normal(key, (X.shape[0], q), dtype=X.dtype)
+    return jnp.linalg.qr(V)[0]
 
-    ``power_matmul`` optionally runs the POWER iterations with a cheaper
-    (reduced-accumulation) product — subspace iteration is self-correcting
-    (each QR re-orthonormalizes; accumulation noise only perturbs the
-    not-yet-converged directions) — while the final Rayleigh–Ritz products
-    always use the full-precision ``matmul``."""
-    if power_matmul is None:
-        power_matmul = matmul
-    n = X.shape[0]
-    q = min(n, k + min(k, 32) + 8)
-    V = jax.random.normal(key, (n, q), dtype=X.dtype)
-    V, _ = jnp.linalg.qr(V)
+
+@functools.partial(jax.jit, static_argnames=("steps", "matmul"))
+def _subspace_power_chunk(X, V, sigma, steps: int, matmul):
+    """``steps`` kernel-free power iterations (K@V product + QR).  The
+    host drives these in chunks so progress can be reported and Ctrl-C
+    lands between device calls — the TPU-era analog of the reference's
+    ``Rcpp::checkUserInterrupt()`` in every hot loop (SURVEY.md §2.13)."""
 
     def body(V, _):
-        W = power_matmul(X, V, sigma)
+        W = matmul(X, V, sigma)
         V, _ = jnp.linalg.qr(W)
         return V, None
 
-    V, _ = jax.lax.scan(body, V, None, length=iters)
+    V, _ = jax.lax.scan(body, V, None, length=steps)
+    return V
+
+
+@functools.partial(jax.jit, static_argnames=("k", "matmul"))
+def _subspace_rayleigh_ritz(X, V, sigma, k: int, matmul):
+    """Final Rayleigh–Ritz on the (oversampled) converged basis; always
+    runs with the full-precision ``matmul``."""
     KV = matmul(X, V, sigma)
     T = V.T @ KV
     T = 0.5 * (T + T.T)
-    evals, S = jnp.linalg.eigh(T)
+    evals, S = jnp.linalg.eigh(T)          # ascending
     evals = evals[::-1][:k]
     vecs = (V @ S[:, ::-1])[:, :k]
     return evals, vecs
@@ -163,8 +162,17 @@ def eigensystem_streaming(
     seed: int = 0,
     matmul=None,
     fast_power: bool = False,
+    mesh=None,
+    progress=None,
+    chunk: int = 4,
 ) -> Eigensystem:
     """Truncated eigensystem of the (never-materialized) kernel of X_std.
+
+    Kernel-free subspace iteration: each power step is one streaming K@V
+    product (``ops/matvec.py``, or a ring matmul over a device mesh) —
+    storage O(N·q), FLOPs 2N²(P+q) per iteration on the MXU.  This is the
+    eigensolver for N past single-chip HBM (SURVEY.md §7 hard parts #1/#4;
+    replaces the reference's ARPACK ``eigs_sym``, ``src/eigen.cpp:18-25``).
 
     Same conventions as :func:`eigensystem` (descending values, negated
     vectors, lastkeeper truncation of the vectors only).  ``neig`` must be
@@ -172,22 +180,47 @@ def eigensystem_streaming(
 
     ``fast_power=True`` runs the power iterations with reduced-precision
     MXU accumulation (Pallas backend only) — ~3-6× faster products with
-    the final Rayleigh–Ritz still at full f32; validate against your
-    tolerance before enabling for inference-critical runs."""
+    the final Rayleigh–Ritz still at full f32 (subspace iteration is
+    self-correcting: each QR re-orthonormalizes, so accumulation noise
+    only perturbs not-yet-converged directions); validate against your
+    tolerance before enabling for inference-critical runs.
+
+    ``mesh`` row-shards the returned eigenvectors over the mesh's first
+    axis (callers pass a 1-D ring mesh together with its ring ``matmul``).
+
+    ``progress(done, total)`` is called after every ``chunk`` iterations;
+    when set, each chunk is synchronized (``block_until_ready``) so the
+    callback reflects real completion and KeyboardInterrupt lands between
+    chunks instead of after the whole decomposition."""
     from .matvec import (kernel_matmul, kernel_matmul_pallas,
                          kernel_matmul_pallas_fast)
     if matmul is None:
         matmul = kernel_matmul
-    power_matmul = None
+    power_matmul = matmul
     if fast_power and matmul is kernel_matmul_pallas:
         power_matmul = kernel_matmul_pallas_fast
     n = X_std.shape[0]
     neig = min(int(neig), n)
     key = jax.random.PRNGKey(seed)
-    vals, vecs = _subspace_iteration_matvec(X_std, key, sigma, neig, iters,
-                                            matmul,
-                                            power_matmul=power_matmul)
+    q = min(n, neig + min(neig, 32) + 8)
+    V = _subspace_init(X_std, key, q)
+
+    done = 0
+    while done < iters:
+        steps = min(chunk, iters - done)
+        V = _subspace_power_chunk(X_std, V, sigma, steps, power_matmul)
+        done += steps
+        if progress is not None:
+            jax.block_until_ready(V)
+            progress(done, iters)
+
+    vals, vecs = _subspace_rayleigh_ritz(X_std, V, sigma, neig, matmul)
     vecs = -vecs
+    if mesh is not None and n % int(mesh.devices.size) == 0:
+        from jax.sharding import NamedSharding, PartitionSpec
+        vecs = jax.device_put(
+            vecs, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0],
+                                                    None)))
     vals_np = np.asarray(jax.device_get(vals))
     if np.any(np.isnan(vals_np)):
         raise ValueError(
@@ -218,6 +251,7 @@ def eigensystem(
     full_threshold: int = 8192,
     subspace_iters: int = 8,
     seed: int = 0,
+    mesh=None,
 ) -> Eigensystem:
     """Compute the (possibly truncated) eigensystem of the kernel.
 
@@ -225,12 +259,23 @@ def eigensystem(
     "auto" uses the exact full solver whenever N <= ``full_threshold`` or
     ``neig`` is not a real truncation, matching the reference's accuracy
     while exploiting the TPU's fast dense eigh.
+
+    ``mesh``: when given, the returned eigenvectors are committed
+    row-sharded over the mesh's first axis, so every downstream O(N·k)
+    GEMM (λ-search solves, vcov quadratic forms, derivative assembly)
+    stays distributed.  With a real truncation, "auto" additionally
+    prefers subspace iteration regardless of N — its K@V products are
+    plain GEMMs against the block-sharded K, which XLA partitions over
+    the mesh, whereas ``eigh`` itself has no distributed implementation
+    and runs gathered (the replicated-eig caveat of VERDICT r01 §2.5).
     """
     n = K.shape[0]
     neig = n if neig is None else min(n, int(neig))
 
     if method == "auto":
-        if neig >= n or n <= full_threshold:
+        if neig < n and mesh is not None:
+            method = "subspace"
+        elif neig >= n or n <= full_threshold:
             method = "full"
         else:
             method = "subspace"
@@ -249,6 +294,12 @@ def eigensystem(
         vecs = -vecs
     else:
         raise ValueError(f"unknown eig method: {method!r}")
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        vecs = jax.device_put(
+            vecs, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0],
+                                                    None)))
 
     vals_np = np.asarray(jax.device_get(vals))
     if np.any(np.isnan(vals_np)):

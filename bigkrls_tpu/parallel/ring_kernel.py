@@ -86,6 +86,76 @@ def ring_gauss_kernel(mesh: Mesh, X_std, sigma) -> jax.Array:
     return jax.jit(fn)(X_std)
 
 
+@functools.lru_cache(maxsize=8)
+def make_ring_matmul(mesh: Mesh):
+    """Kernel-free ring matmul: Y = K(X) @ V with X *and* V row-sharded
+    over the ring — the streaming-fit analog of ring attention, and the
+    component VERDICT r01 asked to wire into the pipeline (SURVEY.md §2.5
+    SP/CP row).
+
+    Unlike ``ops/matvec.kernel_matmul`` (one device, full X resident),
+    here **no device ever holds X, V or any K stripe bigger than its own
+    (N/D)-row block**: at each of D steps a device computes one
+    (N/D × N/D) kernel tile against the *visiting* (X, V) row-block,
+    accumulates ``tile @ V_visit`` into its local output block, and
+    forwards the visiting pair to its ring neighbor via ``ppermute``
+    (ICI collective-permute on TPU; the compiler overlaps the permute
+    with the tile GEMMs).  Per-device memory is O(N/D · (P + m)); FLOPs
+    are the same 2N²(P+m) as the dense product, spread over D chips.
+
+    Returned callable has the ``(X, V, sigma) -> Y`` signature of
+    ``kernel_matmul``, so ``eigensystem_streaming`` / ``ops/effects``
+    accept it as a drop-in ``matmul`` backend.  Cached per mesh so the
+    callable is a stable jit static argument.
+    """
+    ndev = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+    perm = [(k, (k - 1) % ndev) for k in range(ndev)]
+
+    def local(x_own, v_own, sigma):
+        def step(carry, _):
+            x_vis, v_vis, acc = carry
+            tile = _tile(x_own, x_vis, sigma)              # (b, b) on MXU
+            acc = acc + tile @ v_vis                       # (b, m)
+            x_vis = jax.lax.ppermute(x_vis, axis_name=axis, perm=perm)
+            v_vis = jax.lax.ppermute(v_vis, axis_name=axis, perm=perm)
+            return (x_vis, v_vis, acc), None
+
+        acc0 = jax.lax.pcast(
+            jnp.zeros((x_own.shape[0], v_own.shape[1]), x_own.dtype),
+            (axis,), to='varying')
+        (_, _, acc), _ = jax.lax.scan(step, (x_own, v_own, acc0), None,
+                                      length=ndev)
+        return acc
+
+    sm = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis, None), P(axis, None), P()),
+                   out_specs=P(axis, None))
+
+    @jax.jit
+    def ring_matmul(X, V, sigma):
+        n, p = X.shape
+        m = V.shape[1]
+        npad = ((n + ndev - 1) // ndev) * ndev
+        sigma = jnp.asarray(sigma, X.dtype)
+        if npad != n:
+            # zero V rows for padded X rows => padded kernel columns
+            # contribute exactly 0; padded output rows are sliced away
+            X = jnp.zeros((npad, p), X.dtype).at[:n].set(X)
+            V = jnp.zeros((npad, m), V.dtype).at[:n].set(V)
+        Y = sm(X, V, sigma)
+        return Y[:n]
+
+    return ring_matmul
+
+
+def ring_mesh_of(mesh: Mesh) -> Mesh:
+    """Flatten any mesh's devices into a 1-D ring mesh (axis "r")."""
+    if mesh.axis_names == ("r",):
+        return mesh
+    return Mesh(mesh.devices.reshape(-1), axis_names=("r",))
+
+
 def padded_ring_kernel(mesh: Mesh, X_std, sigma) -> jax.Array:
     """Ring kernel for arbitrary N: zero-pads rows to a ring multiple
     (exact — padded rows only produce discarded stripe rows) and slices."""

@@ -12,6 +12,7 @@ DMA alternative for kernel construction at pod scale).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -56,3 +57,36 @@ def shard_fit_arrays(mesh: Mesh, X_std, y_std):
     X_std = jax.device_put(X_std, row_sharding(mesh))
     y_std = jax.device_put(y_std, replicated(mesh))
     return X_std, y_std
+
+
+@functools.lru_cache(maxsize=8)
+def sharded_gauss_kernel(mesh: Mesh):
+    """A jitted Gaussian-kernel builder whose N×N output is block-sharded
+    over ("i", "j") — the distributed replacement for the reference's
+    single shared-memory K (``src/gauss_kernel.cpp``).  X enters
+    row-sharded; the rank-P GEMM and the exp epilogue are partitioned by
+    XLA according to the output sharding, so each device computes exactly
+    its own K block (collecting the column row-block of X over ICI)."""
+    from ..ops.kernels import gauss_kernel
+
+    return jax.jit(
+        gauss_kernel,
+        static_argnames=("explicit",),
+        in_shardings=(row_sharding(mesh), NamedSharding(mesh, P())),
+        out_shardings=block_sharding(mesh),
+    )
+
+
+def shard_info(arr) -> Optional[dict]:
+    """Device-placement summary of one array for ``KRLSModel.sharding_report``."""
+    sharding = getattr(arr, "sharding", None)
+    if sharding is None:
+        return None
+    shards = getattr(arr, "addressable_shards", None)
+    shard_shape = tuple(shards[0].data.shape) if shards else None
+    return {
+        "shape": tuple(arr.shape),
+        "shard_shape": shard_shape,
+        "devices": len(sharding.device_set),
+        "replicated": bool(sharding.is_fully_replicated),
+    }

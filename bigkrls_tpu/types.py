@@ -148,6 +148,11 @@ class KRLSModel:
     # wall-clock per pipeline phase (observability the reference lacks,
     # SURVEY.md §5.1): [{"phase": ..., "seconds": ...}, ...]
     timings: Optional[list] = None
+    # device-placement audit of the heavy intermediates, populated when
+    # fit(mesh=...) ran: {name: {"shape", "shard_shape", "devices",
+    # "replicated"}}.  Tests assert the N×N / N×k objects are genuinely
+    # partitioned (>1 shard), not merely replicated over the mesh.
+    sharding_report: Optional[dict] = None
 
     @property
     def n(self) -> int:

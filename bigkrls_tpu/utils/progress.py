@@ -15,6 +15,15 @@ class PhaseTimer:
     def __init__(self, noisy: bool = False):
         self.noisy = noisy
         self.phases: List[Dict] = []
+        self._last = time.time()
+
+    def mark(self, name: str) -> None:
+        """Record the time elapsed since the previous mark (or construction)
+        as one phase — the linear-pipeline form used by ``model.fit``."""
+        now = time.time()
+        self.phases.append({"phase": name,
+                            "seconds": round(now - self._last, 4)})
+        self._last = now
 
     @contextlib.contextmanager
     def phase(self, name: str):
