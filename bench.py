@@ -6,26 +6,39 @@ data, N=3106, P=67: bigKRLS takes 31.389 s with its default
 eigentruncation 0.001 (144.045 s full decomposition) on
 rice.stanford.edu (``examples/eigenbenchmark.R:44-47``).
 
-This bench replicates that config on synthetic data of the same shape
-(the election CSV lives in the reference repo but the TIMED work depends
-only on N, P and the eigenspectrum shape, which the synthetic draw
-matches: dense kernel, near-full-rank spectrum, ~16 golden-search
-iterations).  The timed region mirrors the reference's: standardization
-and kernel construction excluded, eig + λ search + coefficients + vcov
-filter included; derivatives excluded.  Timed after one compile warmup —
-compile cache persists across steady-state use.
+This bench runs on the REAL election data (``data2016GE.csv``, shipped in
+the reference repo: y = gop_2016_delta, X = the 67 county covariates),
+falling back to a same-shape synthetic draw only if the CSV is absent.
+The timed region mirrors the reference's: standardization and kernel
+construction excluded; full eigendecomposition + λ search + coefficients
++ vcov filter included; derivatives excluded.  Timed after one compile
+warmup — compile cache persists across steady-state use (.jax_cache).
 
-Prints one JSON line:
+A note on the published "lastkeeper = 2895 of 3106" spectrum number
+(``examples/subsampling coeffs.R:7-10``): that count comes from the
+kernel of the RAW, UNstandardized matrix of all 68 CSV columns — the
+outcome included — because R's ``read.csv`` of the github URL prepended a
+row-number column, so the script's ``edata[,-1]`` kept y inside X
+(bandwidth 68).  We reproduce that exact 2895 in
+``tests/test_election_data.py``.  Inside the actual fit pipeline X is
+standardized first (``R/bigKRLS.R:251-254``), and the standardized
+67-column kernel truncates at lastkeeper = 225 (f64 == f32, verified in
+the same test) — in both the reference's timed run and ours, so the
+timed workloads match.
+
+Prints TWO JSON lines (primary LAST):
+  {"metric": "krls_streaming_fullfit_n50000_p20_s", ...}   # secondary
   {"metric": "krls_postkernel_fit_n3106_p67_s", "value": <seconds>,
    "unit": "s", "vs_baseline": <31.389 / seconds>}
-plus a few secondary metrics on stderr.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+ELECTION_CSV = "/root/reference/examples/data2016GE.csv"
 N, P = 3106, 67
 BASELINE_S = 31.389   # bigKRLS default-eigtrunc post-kernel fit (see above)
 
@@ -34,8 +47,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def load_election():
+    """y = gop_2016_delta (col 0), X = the 67 covariates (cols 1..67)."""
+    if os.path.exists(ELECTION_CSV):
+        d = np.genfromtxt(ELECTION_CSV, delimiter=",", skip_header=1)
+        assert d.shape == (N, P + 1), d.shape
+        return d[:, 0], d[:, 1:], "data2016GE.csv (real)"
+    rng = np.random.default_rng(2016)
+    X = rng.normal(size=(N, P))
+    y = X @ rng.normal(size=P) + np.sin(2 * X[:, 0]) + rng.normal(size=N)
+    return y, X, "synthetic fallback (CSV not found)"
+
+
 def main():
-    import os
     import jax
     # persistent compile cache: the N=3106 eigh compile is minutes on a cold
     # process; cached it is milliseconds on every later bench run
@@ -51,20 +75,17 @@ def main():
     from bigkrls_tpu.ops.solve import solve_for_c
     from bigkrls_tpu.ops.effects import derivatives_all
 
-    t_start = time.time()
     backend = jax.default_backend()
     dtype = jnp.float32
     log(f"backend={backend} devices={jax.devices()} dtype={dtype.__name__}")
 
-    rng = np.random.default_rng(2016)
-    X = rng.normal(size=(N, P))
-    beta = rng.normal(size=P)
-    y = X @ beta + np.sin(2 * X[:, 0]) + rng.normal(size=N)
+    y, X, source = load_election()
+    log(f"data: {source}  N={X.shape[0]} P={X.shape[1]}")
     X = (X - X.mean(0)) / X.std(0, ddof=1)
     y = (y - y.mean()) / y.std(ddof=1)
     Xd = jnp.asarray(X, dtype)
     yd = jnp.asarray(y, dtype)
-    sigma = float(P)
+    sigma = float(X.shape[1])
 
     use_pallas = backend == "tpu"
     kern = gauss_kernel_pallas if use_pallas else gauss_kernel
@@ -85,8 +106,13 @@ def main():
     t = time.time()
     eig, lam, coeffs, spectrum = postkernel_fit(K)
     warm = time.time() - t
-    log(f"post-kernel fit warmup (incl. compile): {warm:.2f}s  lambda={lam:.4f} "
-        f"lastkeeper={eig.lastkeeper}")
+    log(f"post-kernel fit warmup (incl. compile): {warm:.2f}s  "
+        f"lambda={lam:.4f} lastkeeper={eig.lastkeeper}")
+    log("  (the published 2895/3106 spectrum count is the RAW 68-column "
+        "kernel, outcome included — a read.csv quirk of the reference "
+        "script; reproduced exactly in tests/test_election_data.py. The "
+        "standardized in-pipeline kernel truncates at 225; see module "
+        "docstring.)")
 
     # ---- timed: kernel construction ----
     t = time.time()
@@ -100,34 +126,35 @@ def main():
         t = time.time()
         eig, lam, coeffs, spectrum = postkernel_fit(K)
         best = min(best, time.time() - t)
-    log(f"kernel: {kernel_s * 1e3:.1f}ms  post-kernel fit: {best:.3f}s")
+    log(f"kernel: {kernel_s * 1e3:.1f}ms  post-kernel fit: {best:.3f}s  "
+        f"(compile overhead first-call: {warm - best:.1f}s, amortized by "
+        f".jax_cache)")
 
-    # ---- secondary: full derivatives step ----
-    bmask = jnp.zeros((P,), bool)
+    # ---- secondary: full derivatives step on the real data ----
+    p = X.shape[1]
+    bmask = jnp.asarray([np.unique(X[:, j]).size == 2 for j in range(p)])
     z0 = jnp.min(Xd, axis=0)
     z1 = jnp.max(Xd, axis=0)
-    sigmasq = 0.1
-    spec = jnp.asarray(sigmasq, dtype) * spectrum
+    resid = yd - K @ coeffs
+    sigmasq = jnp.sum(resid * resid) / X.shape[0]
+    spec = sigmasq.astype(dtype) * spectrum
     d = derivatives_all(Xd, K, coeffs, eig.vectors, spec, sigma, bmask, z0, z1)
     jax.block_until_ready(d)
     t = time.time()
     d = derivatives_all(Xd, K, coeffs, eig.vectors, spec, sigma, bmask, z0, z1)
     jax.block_until_ready(d)
     deriv_s = time.time() - t
-    log(f"all-{P}-column derivatives + AME variances: {deriv_s:.3f}s "
-        f"(reference forks {P} R workers for this)")
-
-    eig_flops = 9 * N**3  # rough syevd flop count
-    log(f"approx eig TFLOP/s: {eig_flops / best / 1e12:.2f} "
-        f"(entire post-kernel fit attributed)")
+    log(f"all-{p}-column derivatives + AME variances: {deriv_s:.3f}s "
+        f"(reference forks {p} R workers for this)")
 
     # ---- secondary: N=50k kernel-free streaming fit (truncated Neig=500,
     # 5 derivative columns) — a config the reference cannot reach at all
-    # (its single-node envelope is N≈10-15k, README.md:69). Skipped when
-    # the compile-heavy warmup above already ate the time budget.
-    if time.time() - t_start < 360 and backend == "tpu":
+    # (its single-node envelope is N≈10-15k, README.md:69).
+    streaming_metric = None
+    if backend == "tpu":
         try:
             import bigkrls_tpu as bk
+            rng = np.random.default_rng(2016)
             n2, p2 = 50_000, 20
             X2 = rng.normal(size=(n2, p2))
             y2 = np.sin(X2[:, 0]) + X2 @ (0.2 * np.ones(p2)) + \
@@ -141,13 +168,20 @@ def main():
             cold = time.time() - t
             t = time.time()
             m2 = bk.fit(y2, X2, **kw)
-            warm = time.time() - t
+            warm2 = time.time() - t
             log(f"N=50k streaming full fit: cold {cold:.1f}s, warm "
-                f"{warm:.2f}s (R2={m2.R2:.3f}) — beyond the reference's "
+                f"{warm2:.2f}s (R2={m2.R2:.3f}) — beyond the reference's "
                 f"memory envelope entirely")
+            streaming_metric = {
+                "metric": "krls_streaming_fullfit_n50000_p20_s",
+                "value": round(warm2, 4), "unit": "s",
+                "vs_baseline": None,   # reference cannot run N=50k at all
+            }
         except Exception as e:  # secondary must never sink the primary
             log(f"N=50k secondary bench failed: {e!r}")
 
+    if streaming_metric is not None:
+        print(json.dumps(streaming_metric), flush=True)
     print(json.dumps({
         "metric": "krls_postkernel_fit_n3106_p67_s",
         "value": round(best, 4),
