@@ -49,32 +49,38 @@ def _eigh_desc(K):
 
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
 def _subspace_iteration(K, key, k: int, iters: int):
-    """Randomized subspace iteration for the top-k eigenpairs of symmetric K.
+    """Randomized **block-Krylov** iteration for the top-k eigenpairs of
+    symmetric K (Musco & Musco 2015 style).
 
     All heavy work is (N,N)x(N,q) GEMMs — MXU-friendly and shardable.
-    The working basis is oversampled (q = k + min(k, 32) extra columns) so
-    the *trailing* requested pairs converge too — without it the last few
-    Ritz values lag several digits behind.  QR re-orthonormalization each
-    step keeps the basis conditioned.
+    Unlike plain subspace/power iteration (which discards each step's
+    basis), every power step's block is *kept* and the Rayleigh–Ritz
+    projection runs on the combined n×((iters+1)·q) Krylov basis.  Same
+    GEMM count, degree-``iters`` polynomial approximation instead of a
+    single power — on slowly-decaying spectra (the λ-parity hard case,
+    SURVEY.md §7 #1–2) this is the difference between ~1e-2 and ~1e-15
+    trailing-eigenvalue error at identical cost.  The basis is oversampled
+    (q = k + min(k, 32) + 8) and each block is QR-conditioned before the
+    next multiply.
     """
     n = K.shape[0]
     q = min(n, k + min(k, 32) + 8)
     V = jax.random.normal(key, (n, q), dtype=K.dtype)
     V, _ = jnp.linalg.qr(V)
 
-    def body(V, _):
-        W = K @ V
-        V, _ = jnp.linalg.qr(W)
-        return V, None
-
-    V, _ = jax.lax.scan(body, V, None, length=iters)
-    # Rayleigh–Ritz on the oversampled basis, keep top-k
-    KV = K @ V
-    T = V.T @ KV
+    blocks = [V]
+    for _ in range(iters):            # static depth: unrolled under jit
+        W = K @ blocks[-1]
+        W, _ = jnp.linalg.qr(W)       # per-block conditioning
+        blocks.append(W)
+    B = jnp.concatenate(blocks, axis=1)
+    Q, _ = jnp.linalg.qr(B)           # reduced QR: n × min(n, (iters+1)q)
+    # Rayleigh–Ritz on the Krylov basis, keep top-k
+    T = Q.T @ (K @ Q)
     T = 0.5 * (T + T.T)
     evals, S = jnp.linalg.eigh(T)          # ascending
     evals = evals[::-1][:k]
-    vecs = (V @ S[:, ::-1])[:, :k]
+    vecs = (Q @ S[:, ::-1])[:, :k]
     return evals, vecs
 
 
@@ -129,27 +135,32 @@ def _subspace_power_chunk(X, V, sigma, steps: int, matmul):
     """``steps`` kernel-free power iterations (K@V product + QR).  The
     host drives these in chunks so progress can be reported and Ctrl-C
     lands between device calls — the TPU-era analog of the reference's
-    ``Rcpp::checkUserInterrupt()`` in every hot loop (SURVEY.md §2.13)."""
+    ``Rcpp::checkUserInterrupt()`` in every hot loop (SURVEY.md §2.13).
 
-    def body(V, _):
+    Returns the final block *and* every intermediate block (stacked
+    column-wise) so the caller can run Rayleigh–Ritz on the full Krylov
+    basis rather than the last power iterate only."""
+    blocks = []
+    for _ in range(steps):               # static: unrolled under jit
         W = matmul(X, V, sigma)
-        V, _ = jnp.linalg.qr(W)
-        return V, None
-
-    V, _ = jax.lax.scan(body, V, None, length=steps)
-    return V
+        V, _ = jnp.linalg.qr(W)          # per-block conditioning
+        blocks.append(V)
+    return V, jnp.concatenate(blocks, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "matmul"))
-def _subspace_rayleigh_ritz(X, V, sigma, k: int, matmul):
-    """Final Rayleigh–Ritz on the (oversampled) converged basis; always
-    runs with the full-precision ``matmul``."""
-    KV = matmul(X, V, sigma)
-    T = V.T @ KV
+def _subspace_rayleigh_ritz(X, B, sigma, k: int, matmul):
+    """Final Rayleigh–Ritz on the accumulated basis ``B`` (orthonormalized
+    here by one reduced QR); always runs with the full-precision
+    ``matmul``.  The QR itself runs gathered (no distributed QR in XLA) —
+    it is O(N·(dq)²), small next to the O(N²·q·d) products at large N."""
+    Q, _ = jnp.linalg.qr(B)
+    KQ = matmul(X, Q, sigma)
+    T = Q.T @ KQ
     T = 0.5 * (T + T.T)
     evals, S = jnp.linalg.eigh(T)          # ascending
     evals = evals[::-1][:k]
-    vecs = (V @ S[:, ::-1])[:, :k]
+    vecs = (Q @ S[:, ::-1])[:, :k]
     return evals, vecs
 
 
@@ -165,6 +176,7 @@ def eigensystem_streaming(
     mesh=None,
     progress=None,
     chunk: int = 4,
+    krylov: bool = True,
 ) -> Eigensystem:
     """Truncated eigensystem of the (never-materialized) kernel of X_std.
 
@@ -191,7 +203,14 @@ def eigensystem_streaming(
     ``progress(done, total)`` is called after every ``chunk`` iterations;
     when set, each chunk is synchronized (``block_until_ready``) so the
     callback reflects real completion and KeyboardInterrupt lands between
-    chunks instead of after the whole decomposition."""
+    chunks instead of after the whole decomposition.
+
+    ``krylov=True`` (default) keeps every power step's block and runs the
+    final Rayleigh–Ritz on the combined block-Krylov basis — same GEMM
+    count as plain subspace iteration, dramatically better accuracy on
+    slowly-decaying spectra (see :func:`_subspace_iteration`).  Memory is
+    O(N·q·iters) instead of O(N·q); pass ``krylov=False`` to restore the
+    constant-memory power iteration when N·q·iters exceeds device HBM."""
     from .matvec import (kernel_matmul, kernel_matmul_pallas,
                          kernel_matmul_pallas_fast)
     if matmul is None:
@@ -206,15 +225,19 @@ def eigensystem_streaming(
     V = _subspace_init(X_std, key, q)
 
     done = 0
+    bases = []
     while done < iters:
         steps = min(chunk, iters - done)
-        V = _subspace_power_chunk(X_std, V, sigma, steps, power_matmul)
+        V, blocks = _subspace_power_chunk(X_std, V, sigma, steps,
+                                          power_matmul)
+        bases.append(blocks if krylov else V)
         done += steps
         if progress is not None:
             jax.block_until_ready(V)
             progress(done, iters)
 
-    vals, vecs = _subspace_rayleigh_ritz(X_std, V, sigma, neig, matmul)
+    B = jnp.concatenate(bases, axis=1) if krylov else bases[-1]
+    vals, vecs = _subspace_rayleigh_ritz(X_std, B, sigma, neig, matmul)
     vecs = -vecs
     if mesh is not None and n % int(mesh.devices.size) == 0:
         from jax.sharding import NamedSharding, PartitionSpec

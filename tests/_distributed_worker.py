@@ -1,0 +1,71 @@
+"""One process of a 2-process ``jax.distributed`` CPU cluster.
+
+Spawned by ``tests/test_distributed.py`` (argv: coordinator_address
+process_id).  Proves the multi-host path the reference never had
+(SURVEY.md §5.8): the coordinator forms, a global 2-D mesh spans both
+processes' devices, and a sharded GEMM with a cross-process all-gather
+returns the right answer on every host.
+"""
+import os
+import sys
+
+# Must be set before JAX initializes any backend; this script never
+# imports tests/conftest.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=2").strip()
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    addr, pid = sys.argv[1], int(sys.argv[2])
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bigkrls_tpu.parallel.distributed import (global_mesh,
+                                                  initialize_distributed,
+                                                  is_initialized,
+                                                  process_info)
+
+    n_global = initialize_distributed(
+        coordinator_address=addr, num_processes=2, process_id=pid)
+    assert is_initialized()
+    assert n_global == 4, f"expected 4 global devices, got {n_global}"
+    info = process_info()
+    assert info["process_count"] == 2, info
+    assert info["local_devices"] == 2, info
+
+    # Idempotent second call must not re-start the coordinator.
+    assert initialize_distributed() == 4
+
+    mesh = global_mesh()
+    assert mesh.devices.shape == (2, 2), mesh.devices.shape
+
+    # Deterministic global GEMM: A block-sharded over ("i","j") — each
+    # process holds only half the rows — B replicated, output replicated
+    # so XLA must emit a cross-process all-gather for the check below.
+    A = np.arange(64, dtype=np.float64).reshape(8, 8)
+    B = np.eye(8, dtype=np.float64) * 2.0 + 1.0
+    A_g = jax.make_array_from_callback(
+        A.shape, NamedSharding(mesh, P("i", "j")), lambda idx: A[idx])
+    for shard in A_g.addressable_shards:
+        assert shard.data.shape == (4, 4)  # genuinely partitioned
+    B_g = jax.device_put(jnp.asarray(B), NamedSharding(mesh, P()))
+
+    gemm = jax.jit(lambda a, b: a @ b,
+                   out_shardings=NamedSharding(mesh, P()))
+    C = gemm(A_g, B_g)
+    assert C.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(C), A @ B)
+    print(f"OK process={pid} trace={float(np.asarray(C).trace())}")
+
+
+if __name__ == "__main__":
+    main()
