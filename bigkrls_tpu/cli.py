@@ -108,6 +108,29 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="run the benchmark")
 
+    pw = sub.add_parser(
+        "warmup",
+        help="pre-populate the XLA compile cache for a list of shapes "
+             "(first eigh compile at a new shape is minutes on TPU)")
+    pw.add_argument("--shapes", required=True,
+                    help="comma-separated NxP list, e.g. 3106x67,50000x40")
+    pw.add_argument("--binary-cols", type=int, default=1,
+                    help="trailing binary columns (compiles the "
+                         "binary-derivative program too)")
+    pw.add_argument("--neig", type=int, default=None,
+                    help="pin the kept-eigenvector count k (with "
+                         "--eigtrunc 0) to match a known production "
+                         "lastkeeper — k keys the compiled programs")
+    pw.add_argument("--eigtrunc", type=float, default=None)
+    pw.add_argument("--streaming", action="store_true",
+                    help="warm the kernel-free streaming path instead")
+    pw.add_argument("--no-derivative", action="store_true")
+    pw.add_argument("--once", action="store_true",
+                    help="single run (skip the steady-state re-run that "
+                         "measures compile overhead)")
+    pw.add_argument("--cache-dir", default=None)
+    pw.add_argument("--x64", action="store_true")
+
     args = parser.parse_args(argv)
 
     if getattr(args, "x64", False):
@@ -174,6 +197,26 @@ def main(argv=None) -> int:
         m = bk.load_model(args.model)
         bk.plot_effects(m, save_to=args.out)
         print(json.dumps({"written": args.out}))
+        return 0
+
+    if args.cmd == "warmup":
+        from bigkrls_tpu.warmup import enable_compile_cache, warmup
+        cache = enable_compile_cache(args.cache_dir)
+        kw = {}
+        if args.neig is not None:
+            kw["neig"] = args.neig
+        if args.eigtrunc is not None:
+            kw["eigtrunc"] = args.eigtrunc
+        if args.streaming:
+            kw["streaming"] = True
+        if args.no_derivative:
+            kw["derivative"] = False
+        for spec in args.shapes.split(","):
+            n, p = (int(v) for v in spec.lower().split("x"))
+            rep = warmup(n, p, binary_cols=args.binary_cols,
+                         repeat=not args.once, **kw)
+            rep["cache_dir"] = cache
+            print(json.dumps(rep))
         return 0
 
     if args.cmd == "bench":

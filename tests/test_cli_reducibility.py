@@ -129,3 +129,21 @@ def test_cli_no_derivative_no_vcov(tmp_path):
                "--no-derivative"])
     assert rc == 0
     assert bk.load_model(str(tmp_path / "m3")).vcov_c_factored is not None
+
+
+def test_cli_warmup_reports_compile_split(tmp_path, capsys):
+    """`warmup` populates a compile cache and reports the per-phase
+    compile-vs-steady split (VERDICT r01 item 9)."""
+    from bigkrls_tpu.cli import main
+    cache = str(tmp_path / "cache")
+    rc = main(["warmup", "--shapes", "64x4", "--binary-cols", "1",
+               "--cache-dir", cache])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n"] == 64 and rep["p"] == 4
+    assert rep["cache_dir"] == cache
+    assert "compile_overhead_s" in rep
+    assert {p["phase"] for p in rep["first_timings"]} == \
+        {p["phase"] for p in rep["steady_timings"]}
+    # the first (compiling) run must not be faster than steady state
+    assert rep["first_s"] >= rep["steady_s"]

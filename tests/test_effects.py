@@ -197,3 +197,59 @@ def test_binary_fuzz_many_patterns(rng):
         ref_var = _naive_binary_var(X, K, V, 1, sigma)
         assert abs(float(res.var_avgderiv[1]) - ref_var) < 1e-9 * max(
             1.0, abs(ref_var)), f"seed {seed}"
+
+
+def _reference_vcv_accumulation(X, K, V, j, sigma):
+    """LITERAL numpy transcription of the reference's binary AME variance
+    accumulation (``src/bigderiv_v3.cpp:41-86``), including its
+    ``adj_*_local`` row vectors and the three colsum-times-rowsum terms.
+
+    Two expressions in the C++ are shape-non-conformant and only run
+    because ``ARMA_NO_DEBUG`` disables Armadillo's checks: ``:66-67``
+    multiplies two N×1 colvecs (transcribed as the dot product — the only
+    well-defined reading) and ``:82-84`` takes rowvec % colvec
+    (transcribed elementwise over N)."""
+    x = X[:, j]
+    z0, z1 = x.min(), x.max()
+    sdXj = 1.0 / (z1 - z0)
+    phi = -1.0 / (sdXj ** 2 * sigma)
+    n = len(x)
+    adj_T = np.zeros((n, n))
+    adj_C = np.zeros((n, n))
+    KT_rowsums = np.zeros(n)
+    KC_rowsums = np.zeros(n)
+    for i in range(n):
+        both_max = (x + x[i] == 2 * z1).astype(float)
+        both_min = (x + x[i] == 2 * z0).astype(float)
+        first_greater = (x[i] > x).astype(float)
+        second_greater = (x[i] < x).astype(float)
+        adj_T_local = both_min - first_greater
+        adj_C_local = both_max - second_greater
+        adj_T[i] = adj_T_local + first_greater - second_greater
+        adj_C[i] = adj_C_local - first_greater + second_greater
+        KT_rowsums[i] = np.exp(adj_T_local * phi) @ K[:, i]
+        KC_rowsums[i] = np.exp(adj_C_local * phi) @ K[:, i]
+    MT = (np.exp(adj_T * phi) * K) @ V.T
+    MC = (np.exp(adj_C * phi) * K) @ V.T
+    vcv_sum = np.sum(MT.sum(0) * KT_rowsums + MC.sum(0) * KC_rowsums
+                     - 2.0 * MT.sum(0) * KC_rowsums)
+    return 2.0 * sdXj ** 2 * vcv_sum / n ** 2
+
+
+def test_binary_var_equals_reference_accumulation(rng):
+    """VERDICT r01 item 10: measure, don't assert, the relation between our
+    hᵀVh binary AME variance and the reference's accumulation.  Under the
+    well-defined reading of its non-conformant shapes the divergence is
+    exactly zero — the local adjustment vectors are columns of the stored
+    matrices ((x_i > x_k) == (x_k < x_i)), and the three accumulation
+    terms telescope to 1ᵀ(K_T−K_C)V(K_T−K_C)ᵀ1 (see ops/effects.py)."""
+    for seed in (3, 11, 42, 2024):
+        r = np.random.default_rng(seed)
+        X, y, K, c, eig, spectrum, V, sigma, binary = _fixture(r)
+        _, var = _run_effects(X, K, c, eig, spectrum, sigma, binary)
+        for j in np.nonzero(binary)[0]:
+            ref = _reference_vcv_accumulation(X, K, V, int(j), sigma)
+            intended = _naive_binary_var(X, K, V, int(j), sigma)
+            scale = max(1.0, abs(ref))
+            assert abs(ref - intended) < 1e-12 * scale
+            assert abs(var[int(j)] - ref) < 1e-12 * scale
