@@ -1,0 +1,72 @@
+"""Boston-housing 5-fold CV quality bands (BASELINE.md; VERDICT r01 item 3).
+
+The oracle is the reference's published run: ``crossvalidate.bigKRLS(medv,
+X, seed = 1234, Kfolds = 5)`` on ``MASS::Boston`` (506×14), whose overview
+table reports out-of-sample R² 0.857–0.910 and out-of-sample MSE
+7.75–17.71 across folds, with fold 1 selecting λ = 0.2145 and
+Neffective = 310.86 of N = 404 (``examples/bigKRLS_boston_kcv.md:49-58,
+89-94``).
+
+The dataset itself ships with R's MASS package, which is not present in
+this image, and there is no network egress to fetch it — so these tests
+gate on a user-supplied CSV (``$BIGKRLS_BOSTON_CSV`` or
+``tests/data/boston.csv``; 506 rows, 14 columns ordered crim…lstat,medv,
+header optional) and skip otherwise.  The fixture validates the file
+against known marginals before trusting it.
+
+Our fold partition is seeded numpy, not R's ``sample()``, so per-fold
+numbers cannot match fold-for-fold; the assertions are the *bands* the
+reference's five folds span (slightly widened for the partition change),
+which is exactly the statistical regression VERDICT r01 asked for.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import bigkrls_tpu as bk
+
+_CANDIDATES = [
+    os.environ.get("BIGKRLS_BOSTON_CSV", ""),
+    os.path.join(os.path.dirname(__file__), "data", "boston.csv"),
+]
+CSV = next((p for p in _CANDIDATES if p and os.path.exists(p)), None)
+
+pytestmark = pytest.mark.skipif(
+    CSV is None,
+    reason="Boston housing CSV not available (set BIGKRLS_BOSTON_CSV or "
+           "place tests/data/boston.csv; MASS::Boston is not "
+           "redistributable inside this image and there is no egress)")
+
+
+@pytest.fixture(scope="module")
+def boston():
+    first = np.genfromtxt(CSV, delimiter=",", max_rows=1)
+    d = np.genfromtxt(CSV, delimiter=",",
+                      skip_header=int(np.isnan(first).any()))
+    assert d.shape == (506, 14), f"expected MASS::Boston 506x14, got {d.shape}"
+    # marginals from the reference's glimpse (bigKRLS_boston_kcv.md:16-30)
+    assert d[0, 0] == pytest.approx(0.00632)    # crim[1]
+    assert d[0, 13] == pytest.approx(24.0)      # medv[1]
+    assert d[:, 13].mean() == pytest.approx(22.5328, abs=1e-3)
+    return d
+
+
+def test_boston_kcv_quality_bands(boston):
+    """5-fold CV reproduces the reference's out-of-sample quality bands."""
+    y, X = boston[:, 13], boston[:, :13]
+    cv = bk.crossvalidate(y, X, seed=1234, kfolds=5, noisy=False)
+    r2_oos = np.array(cv.metrics["R2_oos"], dtype=float).reshape(-1)
+    mse_oos = np.array(cv.metrics["MSE_oos"], dtype=float).reshape(-1)
+    # reference folds: R2 oos 0.857–0.910, MSE oos 7.75–17.71
+    assert np.all(r2_oos > 0.84) and np.all(r2_oos < 0.93)
+    assert np.all(mse_oos > 6.0) and np.all(mse_oos < 20.0)
+    # massive non-additivity: full model far out-explains AME-only summary
+    r2ame_oos = np.array(cv.metrics["R2AME_oos"], dtype=float).reshape(-1)
+    assert np.all(r2_oos - r2ame_oos > 0.4)
+    for fold in cv.fold_results:
+        m = fold.trained
+        # reference fold 1: lambda 0.2145, Neff 310.86 of N=404
+        assert 0.15 < float(m.lambda_) < 0.30
+        assert 280 < float(m.neffective) < 340
+        assert m.X.shape[0] in (404, 405)

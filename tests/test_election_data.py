@@ -94,3 +94,30 @@ def test_election_subsample_fit_quality(election):
     # in-sample fit must beat the AME-only linear summary on this
     # massively non-additive outcome
     assert m.R2 > m.R2AME
+
+
+def test_election_cv_replication_config(election):
+    """The reference's published CV protocol on the full real dataset
+    (``examples/cv_election2016.R:23-26``: ptesting=20, Neig=50, seeded) —
+    the real-data statistical regression VERDICT r01 item 3 asked for.
+    The reference repo ships the protocol but not its numeric results
+    (``examples/cv_replicates`` is absent), so the oracle bands are our
+    own pinned measurements (CPU f64, seed 2016): pseudo-R² oos 0.7445,
+    MSE oos 7.419, AME-only oos R² 0.7263.  With Neig=50 the truncation
+    itself regularizes and the λ lower-bound heuristic never moves off
+    machine-eps, so selected λ ≈ 0 — faithful reference behavior
+    (``R/bigKRLS_Rcpp_functions.R:16-37`` loop body is skipped when
+    N − Σ shrinkage ≥ 1 already holds)."""
+    y = election[:, 0]
+    X = election[:, 1:]
+    cv = bk.crossvalidate(y, X, ptesting=20, seed=2016, neig=50,
+                          noisy=False)
+    m = cv.metrics
+    assert m["pseudoR2_oos"] == pytest.approx(0.74454, abs=0.02)
+    assert m["MSE_oos"] == pytest.approx(7.4186, rel=0.05)
+    assert m["pseudoR2AME_oos"] == pytest.approx(0.72632, abs=0.02)
+    assert m["pseudoR2_is"] > m["pseudoR2AME_is"]
+    trained = cv.fold_results[0].trained
+    assert trained.X.shape[0] == 2485
+    assert float(trained.lambda_) < 1e-10
+    assert trained.neffective == pytest.approx(2435.0, abs=1.0)
