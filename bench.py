@@ -26,7 +26,8 @@ standardized first (``R/bigKRLS.R:251-254``), and the standardized
 the same test) — in both the reference's timed run and ours, so the
 timed workloads match.
 
-Prints TWO JSON lines (primary LAST):
+Prints up to THREE JSON lines (primary LAST):
+  {"metric": "krls_postkernel_fit_neig50_n3106_s", ...}    # secondary
   {"metric": "krls_streaming_fullfit_n50000_p20_s", ...}   # secondary
   {"metric": "krls_postkernel_fit_n3106_p67_s", "value": <seconds>,
    "unit": "s", "vs_baseline": <31.389 / seconds>}
@@ -130,6 +131,43 @@ def main():
         f"(compile overhead first-call: {warm - best:.1f}s, amortized by "
         f".jax_cache)")
 
+    # ---- secondary: the reference's third protocol ("Estimating Fewer",
+    # Neig=50, eigtrunc=0.01 — 18.907 s on rice.stanford.edu via ARPACK
+    # eigs_sym, ``eigenbenchmark.R:23-24,44-47``).  Our user path at this N
+    # deliberately answers a Neig=50 request with the fast dense eigh
+    # ("auto", ops/eig.py) — TPU eigh beats iterating — so this times what
+    # a user actually gets; the explicit block-Krylov path is logged for
+    # comparison.
+    def postkernel_fit_neig50(K, method):
+        eig = eigensystem(K, neig=50, eigtrunc=0.01, method=method)
+        lam = lambda_search(eig, yd, noisy=False)
+        Le, coeffs = solve_for_c(eig, yd, lam)
+        spectrum = 1.0 / (eig.values + lam) ** 2
+        jax.block_until_ready((coeffs, spectrum))
+        return eig, lam, coeffs, spectrum
+
+    neig50_metric = None
+    try:
+        best50 = {}
+        for method in ("auto", "subspace"):
+            postkernel_fit_neig50(K, method)     # compile warmup
+            b = np.inf
+            for _ in range(2):
+                t = time.time()
+                postkernel_fit_neig50(K, method)
+                b = min(b, time.time() - t)
+            best50[method] = b
+        log(f"Neig=50 eigtrunc=0.01 post-kernel fit: user path (dense) "
+            f"{best50['auto']:.3f}s, explicit block-Krylov "
+            f"{best50['subspace']:.3f}s (reference ARPACK: 18.907s)")
+        neig50_metric = {
+            "metric": "krls_postkernel_fit_neig50_n3106_s",
+            "value": round(best50["auto"], 4), "unit": "s",
+            "vs_baseline": round(18.907 / best50["auto"], 2),
+        }
+    except Exception as e:  # secondary must never sink the primary
+        log(f"Neig=50 secondary bench failed: {e!r}")
+
     # ---- secondary: full derivatives step on the real data ----
     p = X.shape[1]
     bmask = jnp.asarray([np.unique(X[:, j]).size == 2 for j in range(p)])
@@ -159,10 +197,12 @@ def main():
             X2 = rng.normal(size=(n2, p2))
             y2 = np.sin(X2[:, 0]) + X2 @ (0.2 * np.ones(p2)) + \
                 rng.normal(size=n2)
+            # full-precision products: with the progressive-basis solver
+            # the recorded K·B blocks are reused for Rayleigh–Ritz, so
+            # precise mode costs the same as fast_eig_power=True
+            # (measured 8.06 vs 7.74 s) with strictly better accuracy
             kw = dict(neig=500, streaming=True, noisy=False,
-                      which_derivatives=[0, 1, 2, 3, 4],
-                      fast_eig_power=True)  # validated: λ identical,
-            #                                 AME/coeff shift ~1e-6
+                      which_derivatives=[0, 1, 2, 3, 4])
             t = time.time()
             bk.fit(y2, X2, **kw)
             cold = time.time() - t
@@ -180,6 +220,8 @@ def main():
         except Exception as e:  # secondary must never sink the primary
             log(f"N=50k secondary bench failed: {e!r}")
 
+    if neig50_metric is not None:
+        print(json.dumps(neig50_metric), flush=True)
     if streaming_metric is not None:
         print(json.dumps(streaming_metric), flush=True)
     print(json.dumps({

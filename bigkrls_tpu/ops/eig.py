@@ -47,6 +47,44 @@ def _eigh_desc(K):
     return vals[::-1], -vecs[:, ::-1]
 
 
+def _dgks(B, W):
+    """Block Gram–Schmidt of W against the orthonormal columns of B,
+    applied twice ("twice is enough", DGKS) — keeps W ⊥ B to machine
+    epsilon even when W has nearly converged into span(B).  Zero-padded
+    (not yet filled) blocks of B contribute exactly nothing.  All GEMMs,
+    so it runs on the MXU and shards with B."""
+    for _ in range(2):
+        W = W - B @ (B.T @ W)
+    return W
+
+
+def _ritz_topk(B, KB, k: int):
+    """Rayleigh–Ritz on an already-orthonormal basis: T = BᵀKB, top-k.
+    No n×width QR — progressive DGKS (see ``_dgks``) keeps B orthonormal
+    as it is built, which removes the single most expensive non-GEMM step
+    of the old design (Householder QR of the n×(d·q) stacked basis)."""
+    T = B.T @ KB
+    T = 0.5 * (T + T.T)
+    evals, S = jnp.linalg.eigh(T)          # ascending
+    return evals[::-1][:k], (B @ S[:, ::-1])[:, :k]
+
+
+def _krylov_geometry(n: int, k: int, iters: int):
+    """(q, progressive): block width, and whether the fast *progressive*
+    basis flow applies.
+
+    Progressive (large n: total width (iters+1)·q ≤ n) keeps the basis
+    orthonormal as it grows (per-block QR + block DGKS) and reuses the
+    recorded K·V products for Rayleigh–Ritz — no n×width Householder QR,
+    no second fat kernel pass.  When the width would reach/exceed n
+    (small n), the stacked-blocks + one fat reduced QR flow is used
+    instead: the reduced QR caps the basis at the FULL space, making
+    Rayleigh–Ritz exact there — progressive blocks beyond n would be
+    pure numerical noise and must not be generated."""
+    q = min(n, k + min(k, 32) + 8)
+    return q, (iters + 1) * q <= n
+
+
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
 def _subspace_iteration(K, key, k: int, iters: int):
     """Randomized **block-Krylov** iteration for the top-k eigenpairs of
@@ -54,34 +92,50 @@ def _subspace_iteration(K, key, k: int, iters: int):
 
     All heavy work is (N,N)x(N,q) GEMMs — MXU-friendly and shardable.
     Unlike plain subspace/power iteration (which discards each step's
-    basis), every power step's block is *kept* and the Rayleigh–Ritz
-    projection runs on the combined n×((iters+1)·q) Krylov basis.  Same
-    GEMM count, degree-``iters`` polynomial approximation instead of a
-    single power — on slowly-decaying spectra (the λ-parity hard case,
-    SURVEY.md §7 #1–2) this is the difference between ~1e-2 and ~1e-15
-    trailing-eigenvalue error at identical cost.  The basis is oversampled
-    (q = k + min(k, 32) + 8) and each block is QR-conditioned before the
-    next multiply.
+    basis), every power step's block is *kept*: the Rayleigh–Ritz
+    projection runs on the combined n×((d+1)·q) Krylov basis — a
+    degree-``d`` polynomial approximation instead of a single power.  On
+    slowly-decaying spectra (the λ-parity hard case, SURVEY.md §7 #1–2)
+    this is the difference between ~1e-2 and ~1e-15 trailing-eigenvalue
+    error; depth 8 is already at machine precision on a gap-free 1/k
+    spectrum (measured, ``tests/test_lambda_parity.py``).
+
+    At large n (total width (iters+1)·q ≤ n) the basis is kept
+    orthonormal *progressively* (per-block QR + block DGKS against
+    everything already stored) and each K@V_g product is recorded as the
+    g-th block of K·B, so Rayleigh–Ritz needs neither an n×width
+    Householder QR nor a second fat K·B product — T = BᵀKB comes from
+    one small GEMM over already-computed pieces (plus a single extra
+    width-q product for the last block).  At small n the stacked blocks
+    are reduced by one fat QR instead, which caps the basis at the full
+    space and makes Rayleigh–Ritz exact there (``_krylov_geometry``).
     """
     n = K.shape[0]
-    q = min(n, k + min(k, 32) + 8)
+    q, progressive = _krylov_geometry(n, k, iters)
     V = jax.random.normal(key, (n, q), dtype=K.dtype)
     V, _ = jnp.linalg.qr(V)
 
+    if progressive:
+        width = (iters + 1) * q
+        B = jnp.zeros((n, width), K.dtype).at[:, :q].set(V)
+        KBs = []
+        for g in range(iters):        # static depth: unrolled under jit
+            W = K @ V                 # K @ V_g — reused as KB block g
+            KBs.append(W)
+            W = _dgks(B, W)
+            V, _ = jnp.linalg.qr(W)   # per-block conditioning
+            B = B.at[:, (g + 1) * q:(g + 2) * q].set(V)
+        KBs.append(K @ V)             # K @ V_d
+        return _ritz_topk(B, jnp.concatenate(KBs, axis=1), k)
+
     blocks = [V]
-    for _ in range(iters):            # static depth: unrolled under jit
+    for _ in range(iters):            # small n: stacked blocks + fat QR
         W = K @ blocks[-1]
         W, _ = jnp.linalg.qr(W)       # per-block conditioning
         blocks.append(W)
     B = jnp.concatenate(blocks, axis=1)
     Q, _ = jnp.linalg.qr(B)           # reduced QR: n × min(n, (iters+1)q)
-    # Rayleigh–Ritz on the Krylov basis, keep top-k
-    T = Q.T @ (K @ Q)
-    T = 0.5 * (T + T.T)
-    evals, S = jnp.linalg.eigh(T)          # ascending
-    evals = evals[::-1][:k]
-    vecs = (Q @ S[:, ::-1])[:, :k]
-    return evals, vecs
+    return _ritz_topk(Q, K @ Q, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -131,15 +185,20 @@ def _subspace_init(X, key, q: int):
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "matmul"))
-def _subspace_power_chunk(X, V, sigma, steps: int, matmul):
-    """``steps`` kernel-free power iterations (K@V product + QR).  The
-    host drives these in chunks so progress can be reported and Ctrl-C
-    lands between device calls — the TPU-era analog of the reference's
-    ``Rcpp::checkUserInterrupt()`` in every hot loop (SURVEY.md §2.13).
+def _power_chunk(X, V, sigma, steps: int, matmul):
+    """``steps`` plain (constant-memory) power iterations; the
+    ``krylov=False`` fallback of :func:`eigensystem_streaming`."""
+    for _ in range(steps):               # static: unrolled under jit
+        W = matmul(X, V, sigma)
+        V, _ = jnp.linalg.qr(W)          # per-block conditioning
+    return V
 
-    Returns the final block *and* every intermediate block (stacked
-    column-wise) so the caller can run Rayleigh–Ritz on the full Krylov
-    basis rather than the last power iterate only."""
+
+@functools.partial(jax.jit, static_argnames=("steps", "matmul"))
+def _power_chunk_blocks(X, V, sigma, steps: int, matmul):
+    """Like :func:`_power_chunk` but returns every intermediate block
+    (stacked column-wise) — the small-n streaming flow, whose caller runs
+    one fat reduced QR over the stacked basis (``_krylov_geometry``)."""
     blocks = []
     for _ in range(steps):               # static: unrolled under jit
         W = matmul(X, V, sigma)
@@ -149,19 +208,61 @@ def _subspace_power_chunk(X, V, sigma, steps: int, matmul):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "matmul"))
-def _subspace_rayleigh_ritz(X, B, sigma, k: int, matmul):
-    """Final Rayleigh–Ritz on the accumulated basis ``B`` (orthonormalized
-    here by one reduced QR); always runs with the full-precision
-    ``matmul``.  The QR itself runs gathered (no distributed QR in XLA) —
-    it is O(N·(dq)²), small next to the O(N²·q·d) products at large N."""
+def _fatqr_ritz_streaming(X, B, sigma, k: int, matmul):
+    """Rayleigh–Ritz after one fat reduced QR of the stacked (not yet
+    mutually orthogonal) blocks; K·Q recomputed at full precision.  The
+    QR caps the basis at the full space — exact there — and is only used
+    when its n×width cost is small by construction (width ≳ n)."""
     Q, _ = jnp.linalg.qr(B)
-    KQ = matmul(X, Q, sigma)
-    T = Q.T @ KQ
-    T = 0.5 * (T + T.T)
-    evals, S = jnp.linalg.eigh(T)          # ascending
-    evals = evals[::-1][:k]
-    vecs = (Q @ S[:, ::-1])[:, :k]
-    return evals, vecs
+    return _ritz_topk(Q, matmul(X, Q, sigma), k)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "matmul", "store_kb"))
+def _krylov_chunk(X, V, B, KB, g, sigma, steps: int, matmul,
+                  store_kb: bool):
+    """``steps`` kernel-free block-Krylov steps (K@V product + block DGKS
+    + QR).  The host drives these in chunks so progress can be reported
+    and Ctrl-C lands between device calls — the TPU-era analog of the
+    reference's ``Rcpp::checkUserInterrupt()`` in every hot loop
+    (SURVEY.md §2.13).
+
+    ``B`` is the preallocated n×((d+1)·q) basis holding orthonormal
+    blocks V_0..V_g (zeros beyond); each step stores K@V_g into ``KB``
+    (when ``store_kb`` — the product is full-precision and reusable for
+    Rayleigh–Ritz) and appends the next orthonormalized block to ``B``.
+    ``g`` is a traced scalar so one compiled program serves every chunk.
+    """
+    q = V.shape[1]
+    for _ in range(steps):               # static: unrolled under jit
+        W = matmul(X, V, sigma)          # K @ V_g
+        if store_kb:
+            KB = jax.lax.dynamic_update_slice(
+                KB, W, (jnp.asarray(0, g.dtype), g * q))
+        W = _dgks(B, W)
+        V, _ = jnp.linalg.qr(W)          # per-block conditioning
+        g = g + 1
+        B = jax.lax.dynamic_update_slice(
+            B, V, (jnp.asarray(0, g.dtype), g * q))
+    return V, B, KB, g
+
+
+@functools.partial(jax.jit, static_argnames=("k", "matmul", "reuse_kb"))
+def _krylov_ritz_streaming(X, B, KB, V_last, sigma, k: int, matmul,
+                           reuse_kb: bool):
+    """Rayleigh–Ritz for the streaming path.  With ``reuse_kb`` the power
+    products already populated K·B at full precision and only the last
+    block's product is computed here (width q); otherwise (reduced-
+    precision power iterations) the whole K·B is recomputed with the
+    full-precision ``matmul`` so Ritz quality never inherits fast-accum
+    noise."""
+    if reuse_kb:
+        q = V_last.shape[1]
+        W = matmul(X, V_last, sigma)
+        KB = jax.lax.dynamic_update_slice(
+            KB, W, (0, B.shape[1] - q))
+    else:
+        KB = matmul(X, B, sigma)
+    return _ritz_topk(B, KB, k)
 
 
 def eigensystem_streaming(
@@ -169,7 +270,7 @@ def eigensystem_streaming(
     sigma,
     neig: int,
     eigtrunc: float = 0.0,
-    iters: int = 12,
+    iters: int = 8,
     seed: int = 0,
     matmul=None,
     fast_power: bool = False,
@@ -205,12 +306,17 @@ def eigensystem_streaming(
     callback reflects real completion and KeyboardInterrupt lands between
     chunks instead of after the whole decomposition.
 
-    ``krylov=True`` (default) keeps every power step's block and runs the
-    final Rayleigh–Ritz on the combined block-Krylov basis — same GEMM
-    count as plain subspace iteration, dramatically better accuracy on
-    slowly-decaying spectra (see :func:`_subspace_iteration`).  Memory is
-    O(N·q·iters) instead of O(N·q); pass ``krylov=False`` to restore the
-    constant-memory power iteration when N·q·iters exceeds device HBM."""
+    ``krylov=True`` (default) keeps every power step's block (kept
+    orthonormal progressively — per-block QR + block DGKS, see
+    :func:`_subspace_iteration`) and runs the final Rayleigh–Ritz on the
+    combined block-Krylov basis — same GEMM count as plain subspace
+    iteration, dramatically better accuracy on slowly-decaying spectra;
+    depth 8 is machine-precision on a gap-free 1/k spectrum.  Memory is
+    O(N·q·d) for the basis (plus the same again for the recorded K·B
+    when the power products run at full precision — they are then reused
+    for Rayleigh–Ritz, saving a second full-width kernel pass); pass
+    ``krylov=False`` to restore the constant-memory power iteration when
+    that exceeds device HBM."""
     from .matvec import (kernel_matmul, kernel_matmul_pallas,
                          kernel_matmul_pallas_fast)
     if matmul is None:
@@ -221,23 +327,63 @@ def eigensystem_streaming(
     n = X_std.shape[0]
     neig = min(int(neig), n)
     key = jax.random.PRNGKey(seed)
-    q = min(n, neig + min(neig, 32) + 8)
+    q, progressive = _krylov_geometry(n, neig, iters)
     V = _subspace_init(X_std, key, q)
 
-    done = 0
-    bases = []
-    while done < iters:
-        steps = min(chunk, iters - done)
-        V, blocks = _subspace_power_chunk(X_std, V, sigma, steps,
-                                          power_matmul)
-        bases.append(blocks if krylov else V)
-        done += steps
-        if progress is not None:
-            jax.block_until_ready(V)
-            progress(done, iters)
+    row_sharding = None
+    if mesh is not None and n % int(mesh.devices.size) == 0:
+        from jax.sharding import NamedSharding, PartitionSpec
+        row_sharding = NamedSharding(
+            mesh, PartitionSpec(mesh.axis_names[0], None))
 
-    B = jnp.concatenate(bases, axis=1) if krylov else bases[-1]
-    vals, vecs = _subspace_rayleigh_ritz(X_std, B, sigma, neig, matmul)
+    if krylov and progressive:
+        reuse_kb = power_matmul is matmul
+        width = (iters + 1) * q
+        B = jnp.zeros((n, width), V.dtype).at[:, :q].set(V)
+        KB = jnp.zeros((n, width), V.dtype)
+        if row_sharding is not None:
+            B = jax.device_put(B, row_sharding)
+            KB = jax.device_put(KB, row_sharding)
+        g = jnp.asarray(0, jnp.int32)
+        done = 0
+        while done < iters:
+            steps = min(chunk, iters - done)
+            V, B, KB, g = _krylov_chunk(X_std, V, B, KB, g, sigma, steps,
+                                        power_matmul, reuse_kb)
+            done += steps
+            if progress is not None:
+                jax.block_until_ready(V)
+                progress(done, iters)
+        vals, vecs = _krylov_ritz_streaming(X_std, B, KB, V, sigma, neig,
+                                            matmul, reuse_kb)
+    elif krylov:
+        # small n (basis width would reach n): stacked blocks + fat QR
+        done = 0
+        bases = []
+        while done < iters:
+            steps = min(chunk, iters - done)
+            V, blocks = _power_chunk_blocks(X_std, V, sigma, steps,
+                                            power_matmul)
+            bases.append(blocks)
+            done += steps
+            if progress is not None:
+                jax.block_until_ready(V)
+                progress(done, iters)
+        vals, vecs = _fatqr_ritz_streaming(
+            X_std, jnp.concatenate(bases, axis=1), sigma, neig, matmul)
+    else:
+        done = 0
+        while done < iters:              # no width growth: never clamped
+            steps = min(chunk, iters - done)
+            V = _power_chunk(X_std, V, sigma, steps, power_matmul)
+            done += steps
+            if progress is not None:
+                jax.block_until_ready(V)
+                progress(done, iters)
+        # Rayleigh–Ritz on the last block only (B = V, K·B recomputed at
+        # full precision)
+        vals, vecs = _krylov_ritz_streaming(X_std, V, V, V, sigma, neig,
+                                            matmul, False)
     vecs = -vecs
     if mesh is not None and n % int(mesh.devices.size) == 0:
         from jax.sharding import NamedSharding, PartitionSpec

@@ -77,7 +77,7 @@ def kernel_matmul(X, V, sigma, block: int = 1024):
 
 def _km_kernel(sigma_ref, xi_ref, xj_ref, vj_ref, out_ref, *,
                precision=jax.lax.Precision.HIGHEST):
-    j = pl.program_id(1)
+    j = pl.program_id(2)
     xi = xi_ref[:]
     xj = xj_ref[:]
     # the rank-P distance contraction always runs true-f32 (HIGHEST):
@@ -103,19 +103,30 @@ def _km_kernel(sigma_ref, xi_ref, xj_ref, vj_ref, out_ref, *,
         out_ref[:] = out_ref[:] + contrib
 
 
-@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "fast_accum"))
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "tile_m",
+                                              "fast_accum"))
 def kernel_matmul_pallas(X, V, sigma, tile_i: int = 256, tile_j: int = 512,
-                         fast_accum: bool = False):
+                         tile_m: int = 512, fast_accum: bool = False):
     """Pallas TPU version: K tiles live only in VMEM; output tiles are
     accumulated across the j grid dimension (j varies fastest, so each
-    (i) output block stays resident while its row of tiles streams)."""
+    (i, m) output block stays resident while its row of K tiles streams).
+
+    The RHS is tiled over its column dimension too (``tile_m``): block-
+    Krylov bases can be thousands of columns wide (e.g. 50k×6528 at
+    neig=500), and an untiled V block would blow the ~16 MB scoped-VMEM
+    stack — per grid step only (tile_j, tile_m) of V and (tile_i, tile_m)
+    of the accumulator are resident (~2 MB at the defaults)."""
     X = X.astype(jnp.float32)
     V = V.astype(jnp.float32)
     n, p = X.shape
     m = V.shape[1]
     npad = _round_up(max(n, tile_i), max(tile_i, tile_j))
     ppad = _round_up(max(p, 128), 128)
-    mpad = _round_up(max(m, 128), 128)
+    if m > tile_m:
+        mpad = _round_up(m, tile_m)
+    else:
+        mpad = _round_up(max(m, 128), 128)
+        tile_m = mpad
     Xp = jnp.zeros((npad, ppad), jnp.float32).at[:n, :p].set(X)
     # zero V rows for padded X rows => padded columns contribute exactly 0
     Vp = jnp.zeros((npad, mpad), jnp.float32).at[:n, :m].set(V)
@@ -126,26 +137,26 @@ def kernel_matmul_pallas(X, V, sigma, tile_i: int = 256, tile_j: int = 512,
         _km_kernel,
         precision=(jax.lax.Precision.DEFAULT if fast_accum
                    else jax.lax.Precision.HIGHEST))
-    grid = (npad // tile_i, npad // tile_j)
+    grid = (npad // tile_i, mpad // tile_m, npad // tile_j)
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_i, ppad), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_i, ppad), lambda i, mi, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_j, ppad), lambda i, j: (j, 0),
+            pl.BlockSpec((tile_j, ppad), lambda i, mi, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_j, mpad), lambda i, j: (j, 0),
+            pl.BlockSpec((tile_j, tile_m), lambda i, mi, j: (j, mi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_i, mpad), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((tile_i, tile_m), lambda i, mi, j: (i, mi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((npad, mpad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * npad * (ppad + mpad),
             bytes_accessed=2 * npad * ppad * 4 + 2 * npad * mpad * 4,
-            transcendentals=npad * npad,
+            transcendentals=npad * npad * (mpad // tile_m),
         ),
     )(sig, Xp, Xp, Vp)
     return out[:n, :m]

@@ -96,28 +96,41 @@ def test_election_subsample_fit_quality(election):
     assert m.R2 > m.R2AME
 
 
-def test_election_cv_replication_config(election):
-    """The reference's published CV protocol on the full real dataset
-    (``examples/cv_election2016.R:23-26``: ptesting=20, Neig=50, seeded) —
-    the real-data statistical regression VERDICT r01 item 3 asked for.
-    The reference repo ships the protocol but not its numeric results
-    (``examples/cv_replicates`` is absent), so the oracle bands are our
-    own pinned measurements (CPU f64, seed 2016): pseudo-R² oos 0.7445,
-    MSE oos 7.419, AME-only oos R² 0.7263.  With Neig=50 the truncation
-    itself regularizes and the λ lower-bound heuristic never moves off
-    machine-eps, so selected λ ≈ 0 — faithful reference behavior
-    (``R/bigKRLS_Rcpp_functions.R:16-37`` loop body is skipped when
-    N − Σ shrinkage ≥ 1 already holds)."""
-    y = election[:, 0]
-    X = election[:, 1:]
-    cv = bk.crossvalidate(y, X, ptesting=20, seed=2016, neig=50,
-                          noisy=False)
+CENSUS_CSV = "/root/reference/examples/data2016GEcensus.csv"
+
+
+@pytest.fixture(scope="module")
+def census():
+    """y = GOPdelta (col 1), X = 17 census covariates incl. 9 region
+    dummies (cols 2..18); col 0 is a quoted row number.  This — not the
+    68-column county file — is what ``cv_election2016.R:9-14`` CVs on
+    (the county file's 49 state dummies go constant in 80% subsamples
+    and fail the per-fold pre-flight, in the reference and here)."""
+    if not os.path.exists(CENSUS_CSV):
+        pytest.skip("reference census CSV not available")
+    d = np.genfromtxt(CENSUS_CSV, delimiter=",", skip_header=1)
+    assert d.shape == (3106, 19)
+    return d[:, 1], d[:, 2:]
+
+
+def test_election_cv_replication_protocol(census):
+    """The reference's published CV protocol on real data
+    (``examples/cv_election2016.R:23-26``: census covariates,
+    ptesting=20, Neig=50, seeded) — the real-data statistical regression
+    VERDICT r01 item 3 asked for.  The reference repo ships the protocol
+    but not its numeric results (``examples/cv_replicates`` is absent),
+    so the oracles are our own pinned measurements (CPU f64): oos
+    pseudo-R² 0.664/0.655/0.700 at seeds 1/2/3, i.e. a 0.63–0.73 band,
+    with seed-1 λ* = 4.4391 and Neffective = 2446.75 of 2485."""
+    y, X = census
+    cv = bk.crossvalidate(y, X, ptesting=20, seed=1, neig=50, noisy=False)
     m = cv.metrics
-    assert m["pseudoR2_oos"] == pytest.approx(0.74454, abs=0.02)
-    assert m["MSE_oos"] == pytest.approx(7.4186, rel=0.05)
-    assert m["pseudoR2AME_oos"] == pytest.approx(0.72632, abs=0.02)
+    assert m["pseudoR2_oos"] == pytest.approx(0.66424, abs=0.01)
+    assert m["MSE_oos"] == pytest.approx(9.86499, rel=0.03)
+    assert m["pseudoR2AME_oos"] == pytest.approx(0.63875, abs=0.01)
     assert m["pseudoR2_is"] > m["pseudoR2AME_is"]
     trained = cv.fold_results[0].trained
     assert trained.X.shape[0] == 2485
-    assert float(trained.lambda_) < 1e-10
-    assert trained.neffective == pytest.approx(2435.0, abs=1.0)
+    assert float(trained.lambda_) == pytest.approx(4.4391, rel=1e-3)
+    assert trained.neffective == pytest.approx(2446.75, abs=1.0)
+    assert trained.lastkeeper == 50
