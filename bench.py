@@ -91,13 +91,24 @@ def main():
     use_pallas = backend == "tpu"
     kern = gauss_kernel_pallas if use_pallas else gauss_kernel
 
+    from bigkrls_tpu.ops.fused import postkernel_device
+    from bigkrls_tpu.types import Eigensystem
+
+    eigtrunc_d = jnp.asarray(0.001, dtype)
+    tol_d = jnp.asarray(1e-3 * N, dtype)
+
     def postkernel_fit(K):
-        eig = eigensystem(K, eigtrunc=0.001)
-        lam = lambda_search(eig, yd, noisy=False)
-        Le, coeffs = solve_for_c(eig, yd, lam)
-        spectrum = 1.0 / (eig.values + lam) ** 2
+        """The reference's timed region as ONE device program (eigh +
+        truncation + λ bounds + golden search + solve, ``ops/fused.py``)
+        — the step-by-step pipeline pays ~8 tunnel round trips (~25 ms
+        each) for the same math (equality tested in tests/test_fused.py)."""
+        vals, vecs, lastkeeper, lam, Le, coeffs, spectrum, _ = \
+            postkernel_device(K, yd, eigtrunc_d, tol_d)
         jax.block_until_ready((coeffs, spectrum))
-        return eig, lam, coeffs, spectrum
+        lk = int(lastkeeper)
+        eig = Eigensystem(values_full=vals, vectors=vecs[:, :lk],
+                          lastkeeper=lk)
+        return eig, float(lam), coeffs, spectrum
 
     # ---- warmup (compile) ----
     t = time.time()
@@ -175,7 +186,9 @@ def main():
     z1 = jnp.max(Xd, axis=0)
     resid = yd - K @ coeffs
     sigmasq = jnp.sum(resid * resid) / X.shape[0]
-    spec = sigmasq.astype(dtype) * spectrum
+    # the fused core returns the full-length masked filter; the truncated
+    # basis wants its first lastkeeper entries
+    spec = sigmasq.astype(dtype) * spectrum[:eig.lastkeeper]
     d = derivatives_all(Xd, K, coeffs, eig.vectors, spec, sigma, bmask, z0, z1)
     jax.block_until_ready(d)
     t = time.time()

@@ -38,7 +38,7 @@ from .ops.kernels import gauss_kernel, gauss_kernel_pallas
 from .ops.matvec import kernel_matmul, kernel_matmul_pallas
 from .ops.solve import solve_for_c
 from .ops.stats import neffective_acf, neffective_spectral, standardize
-from .types import FactoredCovariance, KRLSModel
+from .types import Eigensystem, FactoredCovariance, KRLSModel
 from .utils.progress import PhaseTimer
 
 
@@ -102,7 +102,7 @@ def _fit_impl(
     checkpoint_dir: Optional[str] = None,
     streaming: Optional[bool] = None,
     streaming_threshold: int = 32768,
-    eig_iters: int = 12,
+    eig_iters: int = 8,
     fast_eig_power: bool = False,
     ncores: Optional[int] = None,
     instructions: bool = False,
@@ -281,6 +281,34 @@ def _fit_impl(
         eig = ckpt.load_eig(checkpoint_dir, ckpt_fp, dtype)
         if eig is not None and noisy:
             log("  (resumed eigendecomposition from checkpoint)")
+    fused_out = None
+    if (eig is None and not streaming and mesh is None
+            and checkpoint_dir is None and lambda_ is None
+            and L is None and U is None and neig >= n
+            and eig_method in ("auto", "full") and not noisy):
+        # Single-dispatch post-kernel core (``ops/fused.py``): eigh +
+        # lastkeeper + λ bounds + golden search + spectral solve as ONE
+        # device program — the step-by-step path pays ~8 host↔device
+        # round trips (~25 ms each on a tunneled TPU) for identical math
+        # (equality pinned in tests/test_fused.py).
+        from .ops.fused import postkernel_device
+        if tol is None:
+            tol = n / 1000.0
+        vals, vecs, lk_d, lam_d, Le_f, coeffs_f, _spec, _ = \
+            postkernel_device(K, y_std, jnp.asarray(eigtrunc, dtype),
+                              jnp.asarray(tol, dtype))
+        vals_np = np.asarray(jax.device_get(vals))
+        if np.any(np.isnan(vals_np)):
+            # reference guard (R/bigKRLS_Rcpp_functions.R:8-9)
+            raise ValueError(
+                "Missing eigenvalues prevent obtaining the regularization "
+                "parameter lambda. Check for repeated observations (or "
+                "other perfect linear combinations in X).")
+        lk = int(lk_d)
+        eig = Eigensystem(values_full=vals, vectors=vecs[:, :lk],
+                          lastkeeper=lk)
+        fused_out = (float(lam_d), Le_f, coeffs_f)
+
     if eig is None:
         if streaming:
             progress = None
@@ -305,6 +333,8 @@ def _fit_impl(
     # ---- step 3: λ search ----
     if tol is None:
         tol = n / 1000.0
+    if fused_out is not None:
+        lambda_ = fused_out[0]
     if lambda_ is None:
         if noisy:
             log(f"Step 3/5: Golden search for lambda (t+{time.time() - t0:.1f}s)")
@@ -321,7 +351,10 @@ def _fit_impl(
     # ---- step 4: coefficients & fits ----
     if noisy:
         log(f"Step 4/5: Coefficients & related estimates (t+{time.time() - t0:.1f}s)")
-    Le, coeffs = solve_for_c(eig, y_std, lambda_)
+    if fused_out is not None:
+        Le, coeffs = fused_out[1], fused_out[2]
+    else:
+        Le, coeffs = solve_for_c(eig, y_std, lambda_)
     if streaming:
         yfitted_std = km(X_std, coeffs[:, None], sigma)[:, 0]
     else:

@@ -1,0 +1,164 @@
+"""Single-dispatch post-kernel fit core.
+
+Everything the reference does after the kernel — full eigendecomposition
+(``src/eigen.cpp:13-45``), eigentruncation, the λ-search bound heuristics
+and golden-section search (``R/bigKRLS_Rcpp_functions.R:5-82``), and the
+spectral LOO solve (``src/solveforc.cpp:13-78``) — as ONE jitted program.
+
+Why: on a tunneled/remote TPU every host↔device round trip costs ~25 ms,
+and the step-by-step pipeline makes ~8 of them (eigh dispatch, eigenvalue
+fetch for the NaN check and ``lastkeeper``, host bound heuristics, search
+dispatch, λ fetch, solve dispatch, …) — ~0.2 s of pure latency on a
+workload whose entire compute is ~0.4 s at N=3106.  Fusing leaves one
+dispatch and one result fetch.
+
+Truncation without dynamic shapes: inside one program ``lastkeeper``
+cannot change array shapes, so instead of slicing ``Q[:, :lastkeeper]``
+the spectral filter ``1/(λₖ+λ)`` is multiplied by a mask that zeroes
+k ≥ lastkeeper — algebraically identical to the reference's hard slice
+(``bEigen`` keeps the full value list and truncates the vectors only,
+``R/bigKRLS_Rcpp_functions.R:186-197``).  The λ-search *bounds* consume
+the full (untruncated) value list, exactly like the reference.
+
+The bound heuristics run as integer bisections on device (the host
+versions in ``lambda_search.py`` do the same bisection in numpy); the
+golden-section loop is the same ``lax.while_loop`` as
+``lambda_search._golden_search_device`` with the truncation mask applied.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_GOLD = 0.381966
+_EPS = 2.220446049250313e-16  # R's .Machine$double.eps
+
+
+def _sum_filter(values, lam):
+    return jnp.sum(values / (values + lam))
+
+
+def _upper_bound_device(values, n: int):
+    """Largest U in {n, n-1, ...} with Σ λₖ/(λₖ+U) ≥ 1 — the reference's
+    unit-decrement loop (:19-21) as integer bisection (monotone in k =
+    n−U; k = n always satisfies it since U = 0 ⇒ sum = #{λₖ>0} ≥ 1)."""
+    dt = values.dtype
+
+    def cond_k(k):
+        return _sum_filter(values, jnp.asarray(n, dt) - k) >= 1.0
+
+    nbits = max(1, (n + 1).bit_length())
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        hit = cond_k(mid.astype(dt))
+        return jnp.where(hit, lo, mid + 1), jnp.where(hit, mid, hi)
+
+    lo, _ = jax.lax.fori_loop(
+        0, nbits, body, (jnp.asarray(0, jnp.int32),
+                         jnp.asarray(n, jnp.int32)))
+    return jnp.asarray(n, dt) - lo.astype(dt)
+
+
+def _lower_bound_device(values):
+    """Reference loop (:26-34): L = eps + 0.05·k, smallest k with
+    Σ λₖ/(λₖ+L) ≤ q, q = 1-based argmin |λₖ − λ₁/1000| — as integer
+    bisection over k with an analytic upper limit (sum ≤ n·λ₁/L, so the
+    condition surely holds once L ≥ n·λ₁/q)."""
+    dt = values.dtype
+    n = values.shape[0]
+    eps = jnp.asarray(_EPS, dt)
+    q = jnp.argmin(jnp.abs(values - values[0] / 1000.0)) + 1
+    qf = q.astype(dt)
+
+    def cond_k(k):
+        return _sum_filter(values, eps + 0.05 * k) <= qf
+
+    k_hi = jnp.ceil((n * values[0] / qf) / 0.05).astype(jnp.int32) + 1
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        hit = cond_k(mid.astype(dt))
+        return jnp.where(hit, lo, mid + 1), jnp.where(hit, mid, hi)
+
+    # static trip count: 2^48 dwarfs any reachable k_hi
+    lo, _ = jax.lax.fori_loop(0, 48, body,
+                              (jnp.asarray(0, jnp.int32), k_hi))
+    return eps + 0.05 * lo.astype(dt)
+
+
+@jax.jit
+def postkernel_device(K, y_std, eigtrunc, tol):
+    """eigh → lastkeeper → λ bounds → golden search → spectral solve,
+    one device program.
+
+    Returns ``(values, vectors, lastkeeper, lam, Le, coeffs, spectrum,
+    iters)``; ``vectors`` is the FULL n×n eigenbasis (slice columns to
+    ``lastkeeper`` on the host if a truncated basis is wanted) and
+    ``spectrum`` is the masked ``1/(λₖ+λ)²`` filter of the vcov factor.
+    """
+    from .eig import _eigh_desc
+
+    n = K.shape[0]
+    dt = y_std.dtype
+    values, vectors = _eigh_desc(K)
+
+    # lastkeeper = max(which(values >= eigtrunc*values[0])) as a count
+    keep = values >= eigtrunc * values[0]
+    idx = jnp.arange(n)
+    lastkeeper = jnp.max(jnp.where(keep, idx, -1)) + 1
+    lastkeeper = jnp.maximum(lastkeeper, 1)
+    mask = (idx < lastkeeper).astype(dt)
+
+    U = _upper_bound_device(values, n)
+    L = jnp.asarray(_EPS, dt)
+    L = jnp.maximum(L, _lower_bound_device(values))
+
+    Qty = vectors.T @ y_std
+    Q2 = vectors * vectors
+    gold = jnp.asarray(_GOLD, dt)
+
+    def loo(lam):
+        filt = mask / (values + lam)
+        coeffs = vectors @ (Qty * filt)
+        ginv_diag = Q2 @ filt
+        return jnp.sum((coeffs / ginv_diag) ** 2)
+
+    X1 = L + gold * (U - L)
+    X2 = U - gold * (U - L)
+    state = (L, U, X1, X2, loo(X1), loo(X2), jnp.asarray(0, jnp.int32))
+
+    def cond(state):
+        _, _, _, _, S1, S2, it = state
+        return jnp.logical_and(jnp.abs(S1 - S2) > tol, it < 10_000)
+
+    def body(state):
+        L, U, X1, X2, S1, S2, it = state
+
+        def left(_):
+            U2 = X2
+            X2n = X1
+            X1n = L + gold * (U2 - L)
+            return (L, U2, X1n, X2n, loo(X1n), S1, it + 1)
+
+        def right(_):
+            L2 = X1
+            X1n = X2
+            X2n = U - gold * (U - L2)
+            return (L2, U, X1n, X2n, S2, loo(X2n), it + 1)
+
+        return jax.lax.cond(S1 < S2, left, right, None)
+
+    L, U, X1, X2, S1, S2, it = jax.lax.while_loop(cond, body, state)
+    lam = jnp.where(S1 < S2, X1, X2)
+
+    filt = mask / (values + lam)
+    coeffs = vectors @ (Qty * filt)
+    ginv_diag = Q2 @ filt
+    Le = jnp.sum((coeffs / ginv_diag) ** 2)
+    spectrum = mask / (values + lam) ** 2
+    return values, vectors, lastkeeper, lam, Le, coeffs, spectrum, it

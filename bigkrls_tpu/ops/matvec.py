@@ -104,9 +104,10 @@ def _km_kernel(sigma_ref, xi_ref, xj_ref, vj_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "tile_m",
-                                              "fast_accum"))
+                                              "fast_accum", "interpret"))
 def kernel_matmul_pallas(X, V, sigma, tile_i: int = 256, tile_j: int = 512,
-                         tile_m: int = 512, fast_accum: bool = False):
+                         tile_m: int = 512, fast_accum: bool = False,
+                         interpret: bool = False):
     """Pallas TPU version: K tiles live only in VMEM; output tiles are
     accumulated across the j grid dimension (j varies fastest, so each
     (i, m) output block stays resident while its row of K tiles streams).
@@ -153,6 +154,7 @@ def kernel_matmul_pallas(X, V, sigma, tile_i: int = 256, tile_j: int = 512,
         out_specs=pl.BlockSpec((tile_i, tile_m), lambda i, mi, j: (i, mi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((npad, mpad), jnp.float32),
+        interpret=interpret,   # emulated grid for CPU tests
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * npad * (ppad + mpad),
             bytes_accessed=2 * npad * ppad * 4 + 2 * npad * mpad * 4,

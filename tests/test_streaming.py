@@ -101,3 +101,24 @@ def test_blocked_acf_matches_dense(rng):
     dense = float(neffective_acf(Xs))
     blocked = float(neffective_acf(Xs, block=64))
     assert abs(dense - blocked) < 1e-8
+
+
+def test_pallas_kernel_matmul_interpret_wide_rhs(rng):
+    """The tiled Pallas kernel (interpret mode on CPU) matches the XLA
+    streaming matmul, including an RHS wider than tile_m — the shape
+    class whose untiled V block used to blow the TPU scoped-VMEM stack
+    (block-Krylov bases, e.g. 50k×6528 at neig=500)."""
+    from bigkrls_tpu.ops.matvec import kernel_matmul_pallas
+
+    for n, p, m, tm in [(96, 4, 5, 32), (80, 3, 70, 32)]:
+        X = rng.normal(size=(n, p))
+        V = rng.normal(size=(n, m))
+        ref = np.asarray(kernel_matmul(jnp.asarray(X, jnp.float32),
+                                       jnp.asarray(V, jnp.float32),
+                                       float(p)))
+        got = np.asarray(kernel_matmul_pallas(
+            jnp.asarray(X), jnp.asarray(V), float(p),
+            tile_i=32, tile_j=32, tile_m=tm, interpret=True))
+        assert got.shape == (n, m)
+        scale = np.max(np.abs(ref))
+        assert np.max(np.abs(got - ref)) < 1e-5 * scale
