@@ -270,8 +270,6 @@ def _fit_impl(
     _mark("kernel")
 
     # ---- step 2: eigendecomposition (checkpointable, SURVEY.md §5.4) ----
-    if noisy:
-        log(f"Step 2/5: Spectral decomposition (t+{time.time() - t0:.1f}s)")
     eig = None
     ckpt_fp = None
     if checkpoint_dir is not None:
@@ -285,7 +283,7 @@ def _fit_impl(
     if (eig is None and not streaming and mesh is None
             and checkpoint_dir is None and lambda_ is None
             and L is None and U is None and neig >= n
-            and eig_method in ("auto", "full") and not noisy):
+            and eig_method in ("auto", "full")):
         # Single-dispatch post-kernel core (``ops/fused.py``): eigh +
         # lastkeeper + λ bounds + golden search + spectral solve as ONE
         # device program — the step-by-step path pays ~8 host↔device
@@ -294,7 +292,10 @@ def _fit_impl(
         from .ops.fused import postkernel_device
         if tol is None:
             tol = n / 1000.0
-        vals, vecs, lk_d, lam_d, Le_f, coeffs_f, _spec, _ = \
+        if noisy:
+            log(f"Steps 2-4: eigendecomposition + lambda search + solve "
+                f"(one fused device program) (t+{time.time() - t0:.1f}s)")
+        vals, vecs, lk_d, lam_d, Le_f, coeffs_f, _spec, _fused_iters = \
             postkernel_device(K, y_std, jnp.asarray(eigtrunc, dtype),
                               jnp.asarray(tol, dtype))
         vals_np = np.asarray(jax.device_get(vals))
@@ -308,8 +309,14 @@ def _fit_impl(
         eig = Eigensystem(values_full=vals, vectors=vecs[:, :lk],
                           lastkeeper=lk)
         fused_out = (float(lam_d), Le_f, coeffs_f)
+        if noisy:
+            log(f"Lambda: {fused_out[0]:.6g} selected in "
+                f"{int(_fused_iters)} golden-section iterations "
+                f"(t+{time.time() - t0:.1f}s)")
 
     if eig is None:
+        if noisy:
+            log(f"Step 2/5: Spectral decomposition (t+{time.time() - t0:.1f}s)")
         if streaming:
             progress = None
             if noisy:
@@ -340,7 +347,7 @@ def _fit_impl(
             log(f"Step 3/5: Golden search for lambda (t+{time.time() - t0:.1f}s)")
         lambda_ = lambda_search(eig, y_std, L=L, U=U, tol=tol,
                                 noisy=noisy, log=log)
-    elif noisy:
+    elif noisy and fused_out is None:
         log("Skipping step 3/5, proceeding with user-inputted lambda.")
 
     _mark("lambda_search")

@@ -45,3 +45,26 @@ def test_fused_matches_pipeline(rng, n, p, eigtrunc):
     k = eig.lastkeeper
     assert np.allclose(spec[:k], 1.0 / (vals_np[:k] + float(lam)) ** 2)
     assert np.all(spec[k:] == 0.0)
+
+
+def test_noisy_fit_uses_fused_and_matches_quiet(rng):
+    """noisy=True (the default for N>2000) must not disable the fused
+    core: both modes go through ``postkernel_device`` and agree exactly."""
+    import bigkrls_tpu as bk
+
+    n, p = 260, 4
+    X = rng.normal(size=(n, p))
+    y = np.sin(X[:, 0]) + X[:, 1] + 0.3 * rng.normal(size=n)
+
+    lines = []
+    quiet = bk.fit(y, X, noisy=False)
+    loud = bk.fit(y, X, noisy=True, log=lines.append)
+
+    assert loud.lambda_ == quiet.lambda_
+    assert loud.looe == quiet.looe
+    np.testing.assert_array_equal(loud.coeffs, quiet.coeffs)
+    np.testing.assert_array_equal(loud.derivatives, quiet.derivatives)
+    joined = "\n".join(lines)
+    assert "fused device program" in joined
+    assert "golden-section iterations" in joined
+    assert "Skipping step 3/5" not in joined
