@@ -48,6 +48,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+class _SkipSecondary(Exception):
+    pass
+
+
 def load_election():
     """y = gop_2016_delta (col 0), X = the 67 covariates (cols 1..67)."""
     if os.path.exists(ELECTION_CSV):
@@ -61,6 +65,13 @@ def load_election():
 
 
 def main():
+    t_start = time.time()
+    # On a cold compile cache the warmup compiles alone can cost ~15 min
+    # through the TPU tunnel; the secondaries then risk starving the
+    # primary metric of whatever wall-clock budget the harness allows.
+    # Skip secondaries once this much has elapsed (cache-warm runs never
+    # get close).
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     import jax
     # persistent compile cache: the N=3106 eigh compile is minutes on a cold
     # process; cached it is milliseconds on every later bench run
@@ -158,7 +169,14 @@ def main():
         return eig, lam, coeffs, spectrum
 
     neig50_metric = None
+    over_budget = time.time() - t_start > budget_s
+    if over_budget:
+        log(f"skipping secondary benches: {time.time() - t_start:.0f}s "
+            f"elapsed (> BENCH_BUDGET_S={budget_s:.0f}; cold compile cache) "
+            "— guaranteeing the primary metric emits")
     try:
+        if over_budget:
+            raise _SkipSecondary
         best50 = {}
         for method in ("auto", "subspace"):
             postkernel_fit_neig50(K, method)     # compile warmup
@@ -176,33 +194,21 @@ def main():
             "value": round(best50["auto"], 4), "unit": "s",
             "vs_baseline": round(18.907 / best50["auto"], 2),
         }
+    except _SkipSecondary:
+        pass
     except Exception as e:  # secondary must never sink the primary
         log(f"Neig=50 secondary bench failed: {e!r}")
 
     # ---- secondary: full derivatives step on the real data ----
-    p = X.shape[1]
-    bmask = jnp.asarray([np.unique(X[:, j]).size == 2 for j in range(p)])
-    z0 = jnp.min(Xd, axis=0)
-    z1 = jnp.max(Xd, axis=0)
-    resid = yd - K @ coeffs
-    sigmasq = jnp.sum(resid * resid) / X.shape[0]
-    # the fused core returns the full-length masked filter; the truncated
-    # basis wants its first lastkeeper entries
-    spec = sigmasq.astype(dtype) * spectrum[:eig.lastkeeper]
-    d = derivatives_all(Xd, K, coeffs, eig.vectors, spec, sigma, bmask, z0, z1)
-    jax.block_until_ready(d)
-    t = time.time()
-    d = derivatives_all(Xd, K, coeffs, eig.vectors, spec, sigma, bmask, z0, z1)
-    jax.block_until_ready(d)
-    deriv_s = time.time() - t
-    log(f"all-{p}-column derivatives + AME variances: {deriv_s:.3f}s "
-        f"(reference forks {p} R workers for this)")
+    if not over_budget:
+        _derivatives_secondary(X, Xd, yd, K, coeffs, spectrum, eig, sigma,
+                               dtype, jnp, jax)
 
     # ---- secondary: N=50k kernel-free streaming fit (truncated Neig=500,
     # 5 derivative columns) — a config the reference cannot reach at all
     # (its single-node envelope is N≈10-15k, README.md:69).
     streaming_metric = None
-    if backend == "tpu":
+    if backend == "tpu" and not over_budget:
         try:
             import bigkrls_tpu as bk
             rng = np.random.default_rng(2016)
@@ -243,6 +249,28 @@ def main():
         "unit": "s",
         "vs_baseline": round(BASELINE_S / best, 2),
     }), flush=True)
+
+
+def _derivatives_secondary(X, Xd, yd, K, coeffs, spectrum, eig, sigma,
+                           dtype, jnp, jax):
+    from bigkrls_tpu.ops.effects import derivatives_all
+    p = X.shape[1]
+    bmask = jnp.asarray([np.unique(X[:, j]).size == 2 for j in range(p)])
+    z0 = jnp.min(Xd, axis=0)
+    z1 = jnp.max(Xd, axis=0)
+    resid = yd - K @ coeffs
+    sigmasq = jnp.sum(resid * resid) / X.shape[0]
+    # the fused core returns the full-length masked filter; the truncated
+    # basis wants its first lastkeeper entries
+    spec = sigmasq.astype(dtype) * spectrum[:eig.lastkeeper]
+    d = derivatives_all(Xd, K, coeffs, eig.vectors, spec, sigma, bmask, z0, z1)
+    jax.block_until_ready(d)
+    t = time.time()
+    d = derivatives_all(Xd, K, coeffs, eig.vectors, spec, sigma, bmask, z0, z1)
+    jax.block_until_ready(d)
+    deriv_s = time.time() - t
+    log(f"all-{p}-column derivatives + AME variances: {deriv_s:.3f}s "
+        f"(reference forks {p} R workers for this)")
 
 
 if __name__ == "__main__":
