@@ -155,11 +155,10 @@ def main():
 
     # ---- secondary: the reference's third protocol ("Estimating Fewer",
     # Neig=50, eigtrunc=0.01 — 18.907 s on rice.stanford.edu via ARPACK
-    # eigs_sym, ``eigenbenchmark.R:23-24,44-47``).  Our user path at this N
-    # deliberately answers a Neig=50 request with the fast dense eigh
-    # ("auto", ops/eig.py) — TPU eigh beats iterating — so this times what
-    # a user actually gets; the explicit block-Krylov path is logged for
-    # comparison.
+    # eigs_sym, ``eigenbenchmark.R:23-24,44-47``).  "auto" answers an
+    # aggressive truncation with block-Krylov (measured 0.113 s vs 0.638 s
+    # dense eigh at this N on v5e — ops/eig.py); the dense eigh-then-slice
+    # path is timed alongside for comparison.
     def postkernel_fit_neig50(K, method):
         eig = eigensystem(K, neig=50, eigtrunc=0.01, method=method)
         lam = lambda_search(eig, yd, noisy=False)
@@ -178,7 +177,7 @@ def main():
         if over_budget:
             raise _SkipSecondary
         best50 = {}
-        for method in ("auto", "subspace"):
+        for method in ("auto", "full"):
             postkernel_fit_neig50(K, method)     # compile warmup
             b = np.inf
             for _ in range(2):
@@ -186,9 +185,9 @@ def main():
                 postkernel_fit_neig50(K, method)
                 b = min(b, time.time() - t)
             best50[method] = b
-        log(f"Neig=50 eigtrunc=0.01 post-kernel fit: user path (dense) "
-            f"{best50['auto']:.3f}s, explicit block-Krylov "
-            f"{best50['subspace']:.3f}s (reference ARPACK: 18.907s)")
+        log(f"Neig=50 eigtrunc=0.01 post-kernel fit: user path "
+            f"(block-Krylov) {best50['auto']:.3f}s, dense eigh-then-slice "
+            f"{best50['full']:.3f}s (reference ARPACK: 18.907s)")
         neig50_metric = {
             "metric": "krls_postkernel_fit_neig50_n3106_s",
             "value": round(best50["auto"], 4), "unit": "s",
