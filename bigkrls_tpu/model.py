@@ -38,6 +38,7 @@ from .ops.kernels import gauss_kernel, gauss_kernel_pallas
 from .ops.matvec import kernel_matmul, kernel_matmul_pallas
 from .ops.solve import solve_for_c
 from .ops.stats import neffective_acf, neffective_spectral, standardize
+from .parallel.sharded import host_gather
 from .types import Eigensystem, FactoredCovariance, KRLSModel
 from .utils.progress import PhaseTimer
 
@@ -271,14 +272,46 @@ def _fit_impl(
 
     # ---- step 2: eigendecomposition (checkpointable, SURVEY.md §5.4) ----
     eig = None
+    eig_path = None
     ckpt_fp = None
     if checkpoint_dir is not None:
         from . import checkpoint as ckpt
-        ckpt_fp = ckpt.fingerprint(np.asarray(X_std), sigma, neig, eigtrunc,
+        ckpt_fp = ckpt.fingerprint(host_gather(X_std), sigma, neig, eigtrunc,
                                    str(jnp.dtype(dtype)))
         eig = ckpt.load_eig(checkpoint_dir, ckpt_fp, dtype)
-        if eig is not None and noisy:
-            log("  (resumed eigendecomposition from checkpoint)")
+        if eig is not None:
+            eig_path = "checkpoint"
+            if noisy:
+                log(f"Step 2/5: Spectral decomposition "
+                    f"(resumed from checkpoint) (t+{time.time() - t0:.1f}s)")
+
+    # ---- adaptive truncation (ops/adaptive.py): when the fit will discard
+    # everything below eigtrunc·λ₁ anyway, compute only ~lastkeeper
+    # eigenpairs (block-Krylov) + exact tail moments for the λ bounds,
+    # verified a posteriori with dense-eigh fallback.  Reproduces the full
+    # path's λ*/coefficients (measured identical λ, 1e-7 coeffs on the
+    # election data) at a fraction of the O(N³) cost.
+    adaptive_out = None
+    adaptive_attempted = False
+    if (eig is None and not streaming and mesh is None
+            and checkpoint_dir is None and lambda_ is None
+            and L is None and U is None and eigtrunc > 0 and neig >= n
+            and (eig_method == "adaptive"
+                 or (eig_method == "auto" and n >= 2048))):
+        from .ops.adaptive import adaptive_eigensystem
+        adaptive_attempted = True
+        if noisy:
+            log(f"Step 2/5: Spectral decomposition (adaptive truncation) "
+                f"(t+{time.time() - t0:.1f}s)")
+        adaptive_out = adaptive_eigensystem(K, eigtrunc=eigtrunc,
+                                            noisy=noisy, log=log)
+        if adaptive_out is not None:
+            eig = adaptive_out.eig
+            L, U = adaptive_out.L, adaptive_out.U
+            eig_path = f"adaptive-krylov:k={adaptive_out.k}"
+    if adaptive_out is None and eig_method == "adaptive":
+        eig_method = "auto"   # documented fallback: exact dense path
+
     fused_out = None
     if (eig is None and not streaming and mesh is None
             and checkpoint_dir is None and lambda_ is None
@@ -308,6 +341,8 @@ def _fit_impl(
         lk = int(lk_d)
         eig = Eigensystem(values_full=vals, vectors=vecs[:, :lk],
                           lastkeeper=lk)
+        eig_path = ("eigh-fused(adaptive-fallback)" if adaptive_attempted
+                    else "eigh-fused")
         fused_out = (float(lam_d), Le_f, coeffs_f)
         if noisy:
             log(f"Lambda: {fused_out[0]:.6g} selected in "
@@ -328,9 +363,11 @@ def _fit_impl(
                                         matmul=km,
                                         fast_power=fast_eig_power,
                                         mesh=ring, progress=progress)
+            eig_path = "streaming-krylov"
         else:
             eig = eigensystem(K, neig=neig, eigtrunc=eigtrunc,
                               method=eig_method, mesh=mesh)
+            eig_path = f"stepwise:{eig_method}"
         if checkpoint_dir is not None:
             from . import checkpoint as ckpt
             ckpt.save_eig(checkpoint_dir, ckpt_fp, eig)
@@ -351,12 +388,19 @@ def _fit_impl(
         log("Skipping step 3/5, proceeding with user-inputted lambda.")
 
     _mark("lambda_search")
-    neff = neffective_spectral(eig.values_full, lambda_, n)
+    if adaptive_out is not None:
+        # completed-spectrum Neffective: the adaptive path computed only k
+        # head eigenvalues; the moment quadrature stands in for the tail
+        # (matches the full path to ~1e-3 on the election data)
+        neff = adaptive_out.neffective(lambda_, n)
+    else:
+        neff = neffective_spectral(eig.values_full, lambda_, n)
     if noisy:
         log(f"Effective sample size: {neff:.2f}")
 
     # ---- step 4: coefficients & fits ----
-    if noisy:
+    if noisy and fused_out is None:
+        # (the fused program already covered steps 2-4; don't renumber)
         log(f"Step 4/5: Coefficients & related estimates (t+{time.time() - t0:.1f}s)")
     if fused_out is not None:
         Le, coeffs = fused_out[1], fused_out[2]
@@ -402,16 +446,22 @@ def _fit_impl(
             from .parallel.sharded import shard_info
             _deriv_shard_info = shard_info(deriv_std)
 
+        deriv_std_np = host_gather(deriv_std).astype(np.float64)
+
         # R2AME on standardized X vs original y (cor is scale invariant;
-        # ref :390-392 uses standardized X_estimate and standardized derivs)
-        yhat_ame = X_est @ jnp.mean(deriv_std, axis=0)
-        cmat = jnp.corrcoef(yd, yhat_ame)
-        R2AME = float(cmat[0, 1] ** 2)
+        # ref :390-392 uses standardized X_estimate and standardized
+        # derivs).  Host-side: O(N·P), and it keeps single-device and
+        # global-sharded arrays out of one eager op (multi-host fits).
+        X_est_np = ((X_np - np.asarray(x_means, np.float64))
+                    / x_init_sds)[:, cols]
+        yhat_ame = X_est_np @ deriv_std_np.mean(axis=0)
+        R2AME = float(np.corrcoef(y_np, yhat_ame)[0, 1] ** 2)
 
         # rescale to original units (ref :394-407)
         sd_ratio = y_init_sd / x_init_sds[cols]
-        derivatives = np.asarray(deriv_std, dtype=np.float64) * sd_ratio[None, :]
-        varavgderiv = np.asarray(varavg_std, dtype=np.float64) * sd_ratio ** 2
+        derivatives = deriv_std_np * sd_ratio[None, :]
+        varavgderiv = (host_gather(varavg_std).astype(np.float64)
+                       * sd_ratio ** 2)
         avgderiv = derivatives.mean(axis=0)
 
     _mark("derivatives")
@@ -440,7 +490,8 @@ def _fit_impl(
         if derivative:
             sharding_report["derivatives"] = _deriv_shard_info
 
-    yfitted = np.asarray(yfitted_std, dtype=np.float64) * y_init_sd + y_init_mean
+    yfitted = (host_gather(yfitted_std).astype(np.float64) * y_init_sd
+               + y_init_mean)
     R2 = float(1.0 - np.var(y_np - yfitted, ddof=1) / y_init_sd ** 2)
 
     model = KRLSModel(
@@ -448,7 +499,7 @@ def _fit_impl(
         y=y_np,
         K=K,
         xlabs=list(xlabs),
-        coeffs=np.asarray(coeffs, dtype=np.float64),
+        coeffs=host_gather(coeffs).astype(np.float64),
         yfitted=yfitted,
         sigma=sigma,
         lambda_=float(lambda_),
@@ -472,6 +523,7 @@ def _fit_impl(
         x_sds=x_init_sds,
         timings=_timer.phases,
         sharding_report=sharding_report,
+        eig_path=eig_path,
     )
     if noisy:
         log(f"Done (t+{time.time() - t0:.1f}s)")

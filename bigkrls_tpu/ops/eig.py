@@ -453,8 +453,9 @@ def eigensystem(
             # aggressive truncations are iteration-bound, not eigh-bound:
             # measured on the real election data (TPU v5e, N=3106,
             # neig=50) block-Krylov takes 0.113 s vs 0.638 s for dense
-            # eigh-then-slice; λ*/coefficient parity at this truncation
-            # ratio (and worse) is pinned by tests/test_lambda_parity.py
+            # eigh-then-slice; λ*/coefficient parity is pinned by
+            # tests/test_lambda_parity.py at ratios N/8 and N/32 on a
+            # gap-free 1/k spectrum (the iterative-solver worst case)
             method = "subspace"
         elif n <= full_threshold:
             method = "full"
@@ -478,7 +479,8 @@ def eigensystem(
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
-        vecs = jax.device_put(
+        from ..parallel.sharded import commit
+        vecs = commit(
             vecs, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0],
                                                     None)))
 

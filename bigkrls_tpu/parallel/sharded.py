@@ -50,12 +50,54 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh covers devices of more than one host process."""
+    return any(d.process_index != jax.process_index()
+               for d in mesh.devices.flat)
+
+
+def place(arr, sharding: NamedSharding):
+    """Commit ``arr`` to ``sharding``, multi-host safe.
+
+    Single-process: plain ``device_put``.  Multi-host (the mesh spans
+    non-addressable devices): every host holds the full host-local value —
+    the fit's inputs are replicated across processes by construction, like
+    the reference's per-worker re-attach of the same shared matrices
+    (``R/bigKRLS.R:348-354``) — so the global array is assembled from
+    local shards via ``make_array_from_callback``.
+    """
+    if not spans_processes(sharding.mesh):
+        return jax.device_put(arr, sharding)
+    arr_np = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr_np.shape, sharding, lambda idx: arr_np[idx])
+
+
+def commit(arr, sharding: NamedSharding):
+    """Reshard an existing (possibly global) jax.Array onto ``sharding``
+    through a jitted identity — works across processes, where an eager
+    ``device_put`` of a device array may not."""
+    if not spans_processes(sharding.mesh):
+        return jax.device_put(arr, sharding)
+    return jax.jit(lambda x: x, out_shardings=sharding)(arr)
+
+
+def host_gather(arr) -> np.ndarray:
+    """Fetch an array to host numpy, all-gathering across processes when
+    it is not fully addressable (multi-host fits: coefficients,
+    derivatives and fitted values are row-sharded over all hosts)."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
+
+
 def shard_fit_arrays(mesh: Mesh, X_std, y_std):
     """Place the standardized inputs for a sharded fit: X row-sharded over
     "i" (rows of the kernel/eigenvectors live with their device row),
     y replicated (it is O(N) and feeds reductions everywhere)."""
-    X_std = jax.device_put(X_std, row_sharding(mesh))
-    y_std = jax.device_put(y_std, replicated(mesh))
+    X_std = place(X_std, row_sharding(mesh))
+    y_std = place(y_std, replicated(mesh))
     return X_std, y_std
 
 

@@ -108,7 +108,8 @@ def _save_one(obj, folder: str) -> None:
             arrays["vcov_spectrum"] = fac.spectrum
         meta: Dict[str, Any] = {"class": "KRLSModel",
                                 "xlabs": list(obj.xlabs),
-                                "which_derivatives": obj.which_derivatives}
+                                "which_derivatives": obj.which_derivatives,
+                                "eig_path": obj.eig_path}
         for name in _MODEL_SCALARS:
             meta[name] = getattr(obj, name)
         if fac is not None:
@@ -191,6 +192,7 @@ def _load_one(folder: str):
             vcov_c_factored=fac, sigmasq_std=meta.get("sigmasq_std"),
             y_mean=meta["y_mean"], y_sd=meta["y_sd"],
             x_means=g("x_means"), x_sds=g("x_sds"), path=folder,
+            eig_path=meta.get("eig_path"),
         )
     if cls == "KRLSPrediction":
         return KRLSPrediction(

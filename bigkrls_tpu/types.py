@@ -153,6 +153,10 @@ class KRLSModel:
     # "replicated"}}.  Tests assert the N×N / N×k objects are genuinely
     # partitioned (>1 shard), not merely replicated over the mesh.
     sharding_report: Optional[dict] = None
+    # which eigendecomposition path the fit took: "eigh-fused",
+    # "adaptive-krylov:k=<k>", "eigh-fused(adaptive-fallback)",
+    # "streaming-krylov", "stepwise:<method>", or "checkpoint"
+    eig_path: Optional[str] = None
 
     @property
     def n(self) -> int:

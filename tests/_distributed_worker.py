@@ -64,7 +64,41 @@ def main() -> None:
     C = gemm(A_g, B_g)
     assert C.sharding.is_fully_replicated
     np.testing.assert_allclose(np.asarray(C), A @ B)
-    print(f"OK process={pid} trace={float(np.asarray(C).trace())}")
+
+    # ---- end-to-end fit() across the process boundary (VERDICT r02 #3):
+    # the full dense pipeline — kernel, eig, λ search, solve, derivatives
+    # — over a mesh whose devices live in two processes.  Both hosts must
+    # agree with the single-process fit to f64 tolerance.
+    import bigkrls_tpu as bk
+
+    jax.config.update("jax_enable_x64", True)
+    rng = np.random.default_rng(42)
+    n, p = 64, 3
+    X = rng.normal(size=(n, p))
+    X[:, 2] = (X[:, 2] > 0).astype(float)
+    y = np.asarray(np.sin(X[:, 0]) + X[:, 1] + 0.8 * X[:, 2]
+                   + 0.2 * rng.normal(size=n))
+
+    m_local = bk.fit(y, X, noisy=False)            # single-process oracle
+    m_dist = bk.fit(y, X, noisy=False, mesh=mesh)  # spans both processes
+
+    assert abs(m_local.lambda_ - m_dist.lambda_) < 1e-9, \
+        (m_local.lambda_, m_dist.lambda_)
+    assert np.max(np.abs(m_local.coeffs - m_dist.coeffs)) < 1e-9
+    assert np.max(np.abs(m_local.yfitted - m_dist.yfitted)) < 1e-9
+    assert np.max(np.abs(m_local.derivatives - m_dist.derivatives)) < 1e-8
+    assert np.allclose(m_local.var_avgderivatives,
+                       m_dist.var_avgderivatives)
+    assert m_local.lastkeeper == m_dist.lastkeeper
+    rep = m_dist.sharding_report
+    assert rep is not None and not rep["K"]["replicated"], rep
+    assert rep["K"]["devices"] == 4, rep
+    # this process only addresses its own half of the kernel's rows
+    assert rep["K"]["shard_shape"][0] < n, rep
+
+    fit_sum = float(np.sum(m_dist.coeffs))
+    print(f"OK process={pid} trace={float(np.asarray(C).trace())} "
+          f"fitsum={fit_sum:.12f} lam={m_dist.lambda_:.12f}")
 
 
 if __name__ == "__main__":

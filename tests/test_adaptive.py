@@ -1,0 +1,130 @@
+"""Adaptive-truncation dense path (VERDICT r02 next-round #1).
+
+Done-bar from the verdict: λ*/coefficients must match the FULL dense path
+at pinned tolerances on the real election data, AND a flat-spectrum
+fixture must trigger the a-posteriori fallback to exact dense eigh.
+
+Reference semantics being reproduced: the pipeline only ever consumes the
+top ``lastkeeper`` eigenpairs (``R/bigKRLS_Rcpp_functions.R:190-197``,
+``src/eigen.cpp:18-25``); the adaptive path computes just those (verified),
+and reconstructs the trailing spectrum's contribution to the λ-search
+bounds / Neffective from exact deflated power-sum moments.
+"""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bigkrls_tpu as bk
+from bigkrls_tpu.lambda_search import lambda_search
+from bigkrls_tpu.ops.adaptive import (adaptive_eigensystem, tail_quadrature,
+                                      _extrapolate_khat)
+from bigkrls_tpu.ops.eig import eigensystem
+from bigkrls_tpu.ops.solve import solve_for_c
+
+CSV = "/root/reference/examples/data2016GE.csv"
+
+
+def test_tail_quadrature_exact_recovery():
+    """A 3-atom measure is recovered exactly from its 6 power-sum moments."""
+    theta0 = np.array([0.01, 0.2, 0.5])
+    w0 = np.array([100.0, 20.0, 5.0])
+    m = np.array([np.sum(w0 * theta0 ** j) for j in range(6)])
+    theta, w = tail_quadrature(m, 3)
+    assert np.allclose(np.sort(theta), np.sort(theta0), rtol=1e-8)
+    assert np.allclose(np.sort(w), np.sort(w0), rtol=1e-8)
+    # degraded orders still produce a valid nonnegative measure
+    for npts in (1, 2):
+        t, ww = tail_quadrature(m[: 2 * npts], npts)
+        assert np.all(t >= 0) and np.all(ww >= 0)
+        assert np.sum(ww) == pytest.approx(m[0], rel=1e-9)
+        assert np.sum(ww * t) == pytest.approx(m[1], rel=1e-9)
+
+
+def test_extrapolate_khat_geometric():
+    vals = 2.0 * 0.9 ** np.arange(64)          # crosses thresh at known idx
+    thresh = 2.0 * 0.9 ** 100
+    khat = _extrapolate_khat(vals, thresh)
+    assert khat == pytest.approx(100, abs=2)
+    assert _extrapolate_khat(np.ones(64), 0.5) is None   # flat: no estimate
+
+
+@pytest.fixture(scope="module")
+def synth_spectrum():
+    """K = Q diag(exp(-i/30)) Qᵀ at n=2048: lastkeeper(0.001) ≈ 208 sits
+    ABOVE the initial k₀=128, forcing one growth step; the full-path
+    oracle comes from exact eigh."""
+    n = 2048
+    rng = np.random.default_rng(11)
+    lams = np.exp(-np.arange(n) / 30.0)
+    Q = np.linalg.qr(rng.normal(size=(n, n)))[0]
+    K = (Q * lams) @ Q.T
+    K = 0.5 * (K + K.T)
+    y = rng.normal(size=n)
+    y = (y - y.mean()) / y.std(ddof=1)
+    return jnp.asarray(K), jnp.asarray(y), n
+
+
+def test_adaptive_growth_and_parity(synth_spectrum):
+    Kj, yj, n = synth_spectrum
+    full = eigensystem(Kj, eigtrunc=0.001)
+    lam_full = float(lambda_search(full, yj))
+    _, c_full = solve_for_c(full, yj, lam_full)
+
+    out = adaptive_eigensystem(Kj, eigtrunc=0.001)
+    assert out is not None
+    assert out.k > 128                     # grew past the initial k₀
+    assert out.eig.lastkeeper == full.lastkeeper
+    lam = float(lambda_search(out.eig, yj, L=out.L, U=out.U))
+    assert lam == pytest.approx(lam_full, rel=1e-6)
+    _, c = solve_for_c(out.eig, yj, lam)
+    assert np.max(np.abs(np.asarray(c) - np.asarray(c_full))) < 1e-6
+    # completed-spectrum Neffective vs the full-list one
+    from bigkrls_tpu.ops.stats import neffective_spectral
+    neff_full = neffective_spectral(full.values_full, lam_full, n)
+    assert out.neffective(lam, n) == pytest.approx(neff_full, abs=0.05)
+
+
+def test_adaptive_fallback_flat_spectrum(rng):
+    """High-dimensional X → nearly flat kernel spectrum → the truncation
+    is never captured within max_fraction·N and the fit must fall back to
+    the exact dense path (and say so in eig_path)."""
+    n, p = 512, 100
+    X = rng.normal(size=(n, p))
+    y = np.asarray(X[:, 0] + 0.3 * rng.normal(size=n))
+    m_a = bk.fit(y, X, noisy=False, eigtrunc=0.001, eig_method="adaptive")
+    assert m_a.eig_path == "eigh-fused(adaptive-fallback)"
+    m_f = bk.fit(y, X, noisy=False, eigtrunc=0.001, eig_method="full")
+    assert m_a.lambda_ == pytest.approx(m_f.lambda_, rel=1e-12)
+    assert np.max(np.abs(m_a.coeffs - m_f.coeffs)) < 1e-12
+    assert m_a.lastkeeper == m_f.lastkeeper
+
+
+def test_adaptive_not_used_when_eigtrunc_zero(rng):
+    n, p = 256, 4
+    X = rng.normal(size=(n, p))
+    y = np.asarray(X @ np.ones(p) + 0.1 * rng.normal(size=n))
+    m = bk.fit(y, X, noisy=False, eig_method="adaptive")   # eigtrunc -> 0
+    assert m.eig_path == "eigh-fused"
+
+
+@pytest.mark.skipif(not os.path.exists(CSV),
+                    reason="reference election CSV not available")
+def test_adaptive_matches_full_on_election_data():
+    """The verdict's done-bar, on the real data: default fit routing
+    (n=3106 > 2048, eigtrunc auto → 0.001) takes the adaptive path and
+    reproduces the full path's λ*, coefficients, Neffective and R²."""
+    d = np.genfromtxt(CSV, delimiter=",", skip_header=1)
+    y, X = d[:, 0], d[:, 1:]
+    m_a = bk.fit(y, X, noisy=False, derivative=False)
+    assert m_a.eig_path is not None
+    assert m_a.eig_path.startswith("adaptive-krylov")
+    m_f = bk.fit(y, X, noisy=False, derivative=False, eig_method="full")
+    assert m_f.eig_path == "eigh-fused"
+    assert m_a.lastkeeper == 225 and m_f.lastkeeper == 225
+    assert m_a.lambda_ == pytest.approx(m_f.lambda_, rel=1e-6)
+    assert np.max(np.abs(m_a.coeffs - m_f.coeffs)) < 1e-6
+    assert m_a.neffective == pytest.approx(m_f.neffective, abs=0.05)
+    assert m_a.R2 == pytest.approx(m_f.R2, abs=1e-9)
+    assert m_a.looe == pytest.approx(m_f.looe, rel=1e-6)

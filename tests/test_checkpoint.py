@@ -24,7 +24,9 @@ def test_checkpoint_resume_identical(tmp_path):
     assert os.path.exists(os.path.join(d, "eig_meta.json"))
     logs = []
     m2 = bk.fit(y, X, noisy=True, checkpoint_dir=d, log=logs.append)
-    assert any("resumed eigendecomposition" in l for l in logs)
+    # the resumed-checkpoint notice is worded as a Step 2 banner so noisy
+    # step numbering stays consistent (ADVICE r02)
+    assert any("resumed from checkpoint" in l for l in logs)
     assert m1.lambda_ == m2.lambda_
     assert np.array_equal(m1.coeffs, m2.coeffs)
     assert np.array_equal(m1.derivatives, m2.derivatives)

@@ -48,10 +48,12 @@ def test_two_process_cluster_forms_mesh_and_runs_sharded_gemm():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"OK process={i}" in out, out
-    # Both hosts computed the same replicated result.
-    trace0 = outs[0].split("trace=")[1].split()[0]
-    trace1 = outs[1].split("trace=")[1].split()[0]
-    assert trace0 == trace1
+    # Both hosts computed the same replicated result — for the sharded
+    # GEMM and for the full end-to-end fit() (λ and coefficient checksum).
+    for key in ("trace=", "fitsum=", "lam="):
+        v0 = outs[0].split(key)[1].split()[0]
+        v1 = outs[1].split(key)[1].split()[0]
+        assert v0 == v1, (key, v0, v1)
 
 
 def test_single_host_noarg_initialize_is_a_noop():

@@ -61,6 +61,21 @@ def test_subspace_lambda_parity(slow_decay):
     assert np.max(np.abs(vals - vf) / vf) < 1e-10
 
 
+def test_subspace_lambda_parity_aggressive_ratio(slow_decay):
+    """ADVICE r02: the auto-routing comment in ops/eig.py claims parity at
+    truncation ratios ≥ 8 — pin an aggressive one (N/32, i.e. the regime
+    of the bench's neig=50 on N=3106) rather than just N/8."""
+    Kj, yj, _, _, _ = slow_decay
+    k = N // 32   # 96
+    full = eigensystem(Kj, neig=k, method="full")
+    lam_full = float(lambda_search(full, yj))
+    _, c_full = solve_for_c(full, yj, lam_full)
+    eig = eigensystem(Kj, neig=k, method="subspace")
+    vals = _check_parity(eig, yj, lam_full, np.asarray(c_full), 1e-10, 1e-6)
+    vf = np.asarray(full.values_full)
+    assert np.max(np.abs(vals - vf) / vf) < 1e-10
+
+
 def test_lanczos_lambda_parity(slow_decay):
     Kj, yj, full, lam_full, c_full = slow_decay
     eig = eigensystem(Kj, neig=K_TRUNC, method="lanczos")
