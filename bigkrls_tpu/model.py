@@ -330,7 +330,7 @@ def _fit_impl(
                 f"(one fused device program) (t+{time.time() - t0:.1f}s)")
         vals, vecs, lk_d, lam_d, Le_f, coeffs_f, _spec, _fused_iters = \
             postkernel_device(K, y_std, jnp.asarray(eigtrunc, dtype),
-                              jnp.asarray(tol, dtype))
+                              jnp.asarray(tol, dtype), heartbeat=noisy)
         vals_np = np.asarray(jax.device_get(vals))
         if np.any(np.isnan(vals_np)):
             # reference guard (R/bigKRLS_Rcpp_functions.R:8-9)
@@ -539,7 +539,8 @@ def _fit_impl(
 
 def fit(y, X, *, precision: str = "highest",
         model_subfolder_name: Optional[str] = None,
-        overwrite_existing: bool = False, **kwargs) -> KRLSModel:
+        overwrite_existing: bool = False,
+        trace_dir: Optional[str] = None, **kwargs) -> KRLSModel:
     """Fit a KRLS model (see ``_fit_impl`` for the full argument list).
 
     ``precision`` sets ``jax.default_matmul_precision`` for the whole
@@ -552,8 +553,14 @@ def fit(y, X, *, precision: str = "highest",
     returning — the reference's save-during-fit option
     (``R/bigKRLS.R:111-133, 471-503``), with the same
     auto-increment-on-collision behavior unless ``overwrite_existing``.
+
+    ``trace_dir``: when set, the whole fit runs under
+    ``jax.profiler.trace(trace_dir)`` — a TensorBoard-compatible XLA
+    trace of every device program, the deep-profiling layer on top of the
+    per-phase wall-clock in ``model.timings`` (SURVEY.md §5.1).
     """
-    with jax.default_matmul_precision(precision):
+    from .utils.progress import xla_trace
+    with jax.default_matmul_precision(precision), xla_trace(trace_dir):
         model = _fit_impl(y, X, **kwargs)
     if model_subfolder_name is not None:
         from .persistence import save_model

@@ -17,7 +17,15 @@ SURVEY.md §3.2):
 * the ``correct_SE`` scaling multiplies the *covariance* by √(N/Neff)
   before the square root of the diagonal is taken (``:610-613``) — i.e.
   the reported se is (N/Neff)^{1/4}·√diag.  This reference quirk is
-  replicated verbatim for parity.
+  replicated verbatim for parity;
+* **streaming scale** (VERDICT r02 #9): the reference materializes the
+  full U×N cross kernel (``src/temp_kernel.cpp``), which at N=500k and
+  U=1000 is already a 0.5 GB single matrix.  When ``U·N`` exceeds
+  ``block_size`` elements (or the caller passes ``block_size``), newdata
+  is processed in row blocks — each block's cross kernel, prediction and
+  SE diagonal are computed and discarded — so memory stays O(block·N).
+  Blocked predictions return ``newdataK=None`` (storing U×N is the thing
+  being avoided; this is stated here rather than silently).
 """
 from __future__ import annotations
 
@@ -30,6 +38,11 @@ from .ops.kernels import cross_kernel
 from .types import KRLSModel, KRLSPrediction
 
 
+# beyond this many U·N cross-kernel elements, predict() auto-switches to
+# the blocked streaming path (≈200 MB of f32 at the default)
+AUTO_BLOCK_ELEMS = 50_000_000
+
+
 def predict(
     model: KRLSModel,
     newdata,
@@ -38,11 +51,12 @@ def predict(
     ytest=None,
     materialize_vcov: bool = False,
     precision: str = "highest",
+    block_size: int = None,
 ) -> KRLSPrediction:
     import jax
     with jax.default_matmul_precision(precision):
         return _predict_impl(model, newdata, se_pred, correct_SE, ytest,
-                             materialize_vcov)
+                             materialize_vcov, block_size)
 
 
 def _predict_impl(
@@ -52,6 +66,7 @@ def _predict_impl(
     correct_SE: bool,
     ytest,
     materialize_vcov: bool,
+    block_size=None,
 ) -> KRLSPrediction:
     newdata_np = np.asarray(newdata, dtype=np.float64)
     if newdata_np.ndim == 1:
@@ -73,26 +88,52 @@ def _predict_impl(
     X_std = jnp.asarray((model.X - Xm) / Xs, dtype=dtype)
     new_std = jnp.asarray((newdata_np - Xm) / Xs, dtype=dtype)
 
-    Knew = cross_kernel(new_std, X_std, model.sigma)
+    U, n = new_std.shape[0], X_std.shape[0]
+    if block_size is None and U * n > AUTO_BLOCK_ELEMS:
+        block_size = max(1, AUTO_BLOCK_ELEMS // n)
+    blocked = block_size is not None and block_size < U
+    if blocked and materialize_vcov:
+        raise ValueError(
+            "materialize_vcov builds the dense U x U prediction covariance "
+            "and needs the full cross kernel; pass block_size=None (and "
+            "enough memory) to request it at this scale.")
+
     coeffs = jnp.asarray(model.coeffs, dtype=dtype)
-    ypred_std = Knew @ coeffs
-    ypred = np.asarray(ypred_std, dtype=np.float64) * model.y.std(ddof=1) \
-        + model.y.mean()
+    fac = model.vcov_c_factored  # original y units already (scale=sd(y)²)
+    corr = 1.0
+    if se_pred and correct_SE and model.neffective is not None:
+        corr = float(np.sqrt(model.n / model.neffective))
 
     se = None
     vcov_pred = None
-    if se_pred:
-        fac = model.vcov_c_factored  # original y units already (scale=sd(y)²)
-        corr = 1.0
-        if correct_SE and model.neffective is not None:
-            corr = float(np.sqrt(model.n / model.neffective))
-        if materialize_vcov:
-            Vp = fac.quad_form(Knew.T) * corr   # (U, U) dense
-            vcov_pred = np.asarray(Vp, dtype=np.float64)
-            se = np.sqrt(np.diag(vcov_pred))
-        else:
-            d = fac.quad_form_diag(Knew.T) * corr
-            se = np.sqrt(np.asarray(d, dtype=np.float64))
+    if blocked:
+        # streaming path: per-block cross kernel, prediction, SE diagonal;
+        # the U×N kernel is never held whole (module docstring)
+        Knew = None
+        ypred_std = np.empty(U, dtype=np.float64)
+        if se_pred:
+            se = np.empty(U, dtype=np.float64)
+        for lo in range(0, U, block_size):
+            hi = min(lo + block_size, U)
+            Kb = cross_kernel(new_std[lo:hi], X_std, model.sigma)
+            ypred_std[lo:hi] = np.asarray(Kb @ coeffs, dtype=np.float64)
+            if se_pred:
+                d = fac.quad_form_diag(Kb.T) * corr
+                se[lo:hi] = np.sqrt(np.asarray(d, dtype=np.float64))
+        ypred = ypred_std * model.y.std(ddof=1) + model.y.mean()
+    else:
+        Knew = cross_kernel(new_std, X_std, model.sigma)
+        ypred_std = Knew @ coeffs
+        ypred = np.asarray(ypred_std, dtype=np.float64) \
+            * model.y.std(ddof=1) + model.y.mean()
+        if se_pred:
+            if materialize_vcov:
+                Vp = fac.quad_form(Knew.T) * corr   # (U, U) dense
+                vcov_pred = np.asarray(Vp, dtype=np.float64)
+                se = np.sqrt(np.diag(vcov_pred))
+            else:
+                d = fac.quad_form_diag(Knew.T) * corr
+                se = np.sqrt(np.asarray(d, dtype=np.float64))
 
     pseudoR2 = mse = None
     if ytest is not None:
@@ -110,7 +151,8 @@ def _predict_impl(
         predicted=ypred,
         se_pred=se,
         newdata=newdata_np,
-        newdataK=np.asarray(Knew, dtype=np.float64),
+        newdataK=(None if Knew is None
+                  else np.asarray(Knew, dtype=np.float64)),
         ytest=ytest,
         vcov_est_pred=vcov_pred,
         pseudoR2=pseudoR2,

@@ -122,3 +122,70 @@ def test_pallas_kernel_matmul_interpret_wide_rhs(rng):
         assert got.shape == (n, m)
         scale = np.max(np.abs(ref))
         assert np.max(np.abs(got - ref)) < 1e-5 * scale
+
+
+def _synthetic_model(n, p, k, dtype=jnp.float32, seed=9):
+    """A handcrafted KRLSModel big enough to exercise blocked predict
+    without paying for a real N=50k fit on the 2-CPU test host."""
+    from bigkrls_tpu.types import FactoredCovariance, KRLSModel
+
+    gen = np.random.default_rng(seed)
+    X = gen.normal(size=(n, p))
+    y = gen.normal(size=n)
+    Q = np.linalg.qr(gen.normal(size=(n, k)))[0]
+    return KRLSModel(
+        X=X, y=y, K=None, xlabs=[f"x{i+1}" for i in range(p)],
+        coeffs=np.asarray(gen.normal(size=n) / n, dtype=np.float64),
+        yfitted=y, sigma=float(p), lambda_=1.0, looe=1.0, R2=0.5,
+        R2AME=None, K_eigenvalues=np.linspace(2.0, 1.0, k),
+        lastkeeper=k, neffective=n * 0.8, neffective_acf=None,
+        derivatives=None, avgderivatives=None, var_avgderivatives=None,
+        binaryindicator=np.zeros(p, bool), which_derivatives=None,
+        vcov_c_factored=FactoredCovariance(
+            jnp.asarray(Q, dtype), jnp.asarray(np.full(k, 0.01), dtype),
+            scale=2.0),
+        sigmasq_std=0.01, y_mean=float(y.mean()), y_sd=float(y.std(ddof=1)),
+        x_means=X.mean(0), x_sds=X.std(0, ddof=1))
+
+
+def test_blocked_predict_matches_dense():
+    """Blocked (streaming) predict == the one-shot dense cross-kernel
+    path, predictions and SEs, on a size where both fit in memory."""
+    m = _synthetic_model(n=5000, p=4, k=16)
+    Xnew = np.random.default_rng(10).normal(size=(512, 4))
+    p_dense = bk.predict(m, Xnew, se_pred=True)
+    p_block = bk.predict(m, Xnew, se_pred=True, block_size=100)
+    assert p_block.newdataK is None          # the U×N kernel never existed
+    assert p_dense.newdataK is not None
+    assert np.max(np.abs(p_block.predicted - p_dense.predicted)) < 1e-8
+    assert np.max(np.abs(p_block.se_pred - p_dense.se_pred)) < 1e-8
+
+
+def test_blocked_predict_streaming_scale():
+    """The VERDICT r02 #9 config: N=50k model, U=2k newdata.  U·N = 1e8
+    exceeds the auto-block threshold, so predict() streams without the
+    caller asking; memory stays O(block·N)."""
+    from bigkrls_tpu.predict import AUTO_BLOCK_ELEMS
+
+    n, u = 50_000, 2000
+    assert u * n > AUTO_BLOCK_ELEMS
+    m = _synthetic_model(n=n, p=5, k=8)
+    Xnew = np.random.default_rng(11).normal(size=(u, 5))
+    out = bk.predict(m, Xnew, se_pred=True)
+    assert out.newdataK is None              # auto-blocked
+    assert out.predicted.shape == (u,) and out.se_pred.shape == (u,)
+    assert np.all(np.isfinite(out.predicted))
+    assert np.all(out.se_pred > 0)
+    # spot-check one block against a directly computed row
+    from bigkrls_tpu.ops.kernels import cross_kernel
+    Xm, Xs = m.X.mean(0), m.X.std(0, ddof=1)
+    k_row = cross_kernel(
+        jnp.asarray((Xnew[:1] - Xm) / Xs, jnp.float32),
+        jnp.asarray((m.X - Xm) / Xs, jnp.float32), m.sigma)
+    want = float((k_row @ jnp.asarray(m.coeffs, jnp.float32))[0]) \
+        * m.y.std(ddof=1) + m.y.mean()
+    assert out.predicted[0] == pytest.approx(want, rel=1e-5)
+
+    with pytest.raises(ValueError, match="materialize_vcov"):
+        bk.predict(m, Xnew, se_pred=True, block_size=100,
+                   materialize_vcov=True)
