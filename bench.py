@@ -93,7 +93,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from bigkrls_tpu.lambda_search import lambda_search
-    from bigkrls_tpu.ops.adaptive import adaptive_eigensystem
+    from bigkrls_tpu.ops.adaptive import postkernel_adaptive
     from bigkrls_tpu.ops.eig import eigensystem
     from bigkrls_tpu.ops.fused import postkernel_device
     from bigkrls_tpu.ops.kernels import gauss_kernel, gauss_kernel_pallas
@@ -125,13 +125,12 @@ def main():
 
     # ---- the DEFAULT fit's post-kernel region: adaptive truncation ----
     def postkernel_fit_adaptive(K):
-        out = adaptive_eigensystem(K, eigtrunc=0.001)
-        assert out is not None, "adaptive path fell back on election data"
-        lam = lambda_search(out.eig, yd, L=out.L, U=out.U, tol=1e-3 * N)
-        Le, coeffs = solve_for_c(out.eig, yd, lam)
+        res = postkernel_adaptive(K, yd, 0.001, 1e-3 * N)
+        assert res is not None, "adaptive path fell back on election data"
+        out, lam, Le, coeffs = res
         spectrum = 1.0 / (out.eig.values + lam) ** 2
         jax.block_until_ready((coeffs, spectrum))
-        return out.eig, float(lam), coeffs, spectrum, out.k
+        return out.eig, lam, coeffs, spectrum, out.k
 
     def postkernel_fit_dense(K):
         """The fused dense program — the r01/r02 primary's timed code."""
@@ -312,22 +311,25 @@ def _streaming_secondaries(metrics, have_budget, log):
         metrics.append({"metric": metric, "value": round(warm2, 4),
                         "unit": "s", "vs_baseline": None})
 
+    # order: 50k (the r02 headline), then 100k (the new scale headline),
+    # then the fast-power variant — so on a cold cache the budget gate
+    # sacrifices the least important line first
     if have_budget("N=50k streaming secondary"):
         try:
             one(50_000, 20, "krls_streaming_fullfit_n50000_p20_s")
         except Exception as e:
             log(f"N=50k secondary failed: {e!r}")
+    if have_budget("N=100k streaming secondary"):
+        try:
+            one(100_000, 20, "krls_streaming_fullfit_n100000_p20_s")
+        except Exception as e:
+            log(f"N=100k secondary failed: {e!r}")
     if have_budget("N=50k fast-power streaming secondary"):
         try:
             one(50_000, 20, "krls_streaming_fullfit_n50000_p20_fastpower_s",
                 fast_power=True, note=" (fast_eig_power)")
         except Exception as e:
             log(f"N=50k fast-power secondary failed: {e!r}")
-    if have_budget("N=100k streaming secondary"):
-        try:
-            one(100_000, 20, "krls_streaming_fullfit_n100000_p20_s")
-        except Exception as e:
-            log(f"N=100k secondary failed: {e!r}")
 
 
 if __name__ == "__main__":

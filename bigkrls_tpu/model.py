@@ -293,26 +293,29 @@ def _fit_impl(
     # election data) at a fraction of the O(N³) cost.
     adaptive_out = None
     adaptive_attempted = False
+    fused_out = None
     if (eig is None and not streaming and mesh is None
             and checkpoint_dir is None and lambda_ is None
             and L is None and U is None and eigtrunc > 0 and neig >= n
             and (eig_method == "adaptive"
                  or (eig_method == "auto" and n >= 2048))):
-        from .ops.adaptive import adaptive_eigensystem
+        from .ops.adaptive import postkernel_adaptive
         adaptive_attempted = True
         if noisy:
-            log(f"Step 2/5: Spectral decomposition (adaptive truncation) "
-                f"(t+{time.time() - t0:.1f}s)")
-        adaptive_out = adaptive_eigensystem(K, eigtrunc=eigtrunc,
-                                            noisy=noisy, log=log)
-        if adaptive_out is not None:
+            log(f"Steps 2-4: adaptive truncation (block-Krylov eig + "
+                f"lambda search + solve) (t+{time.time() - t0:.1f}s)")
+        res = postkernel_adaptive(
+            K, y_std, eigtrunc, n / 1000.0 if tol is None else tol,
+            noisy=noisy, log=log)
+        if res is not None:
+            adaptive_out, lam_a, Le_a, coeffs_a = res
             eig = adaptive_out.eig
-            L, U = adaptive_out.L, adaptive_out.U
             eig_path = f"adaptive-krylov:k={adaptive_out.k}"
+            fused_out = (lam_a, Le_a, coeffs_a)
+            if noisy:
+                log(f"Lambda: {lam_a:.6g} (t+{time.time() - t0:.1f}s)")
     if adaptive_out is None and eig_method == "adaptive":
         eig_method = "auto"   # documented fallback: exact dense path
-
-    fused_out = None
     if (eig is None and not streaming and mesh is None
             and checkpoint_dir is None and lambda_ is None
             and L is None and U is None and neig >= n

@@ -200,6 +200,76 @@ class AdaptiveEig:
         return float(n) - _wsum(head, self.tail_theta, self.tail_w, lam)
 
 
+@jax.jit
+def _golden_solve(vectors, values, y_std, L, U, tol):
+    """Golden-section λ search + final spectral solve as ONE device
+    program — identical control flow to
+    ``lambda_search._golden_search_device`` followed by ``solve_for_c``
+    (equality pinned by tests), but the adaptive path saves the extra
+    dispatches: on a tunneled TPU each host↔device round trip costs
+    ~25 ms and the whole adaptive region is latency-bound (ops/fused.py
+    rationale)."""
+    gold = jnp.asarray(0.381966, y_std.dtype)
+    Qty = vectors.T @ y_std
+    Q2 = vectors * vectors
+
+    def loo_c(lam):
+        filt = 1.0 / (values + lam)
+        coeffs = vectors @ (Qty * filt)
+        ginv_diag = Q2 @ filt
+        return jnp.sum((coeffs / ginv_diag) ** 2), coeffs
+
+    def loo(lam):
+        return loo_c(lam)[0]
+
+    X1 = L + gold * (U - L)
+    X2 = U - gold * (U - L)
+    state = (L, U, X1, X2, loo(X1), loo(X2), jnp.asarray(0, jnp.int32))
+
+    def cond(state):
+        _, _, _, _, S1, S2, it = state
+        return jnp.logical_and(jnp.abs(S1 - S2) > tol, it < 10_000)
+
+    def body(state):
+        L, U, X1, X2, S1, S2, it = state
+
+        def left(_):
+            U2 = X2
+            X1n = L + gold * (U2 - L)
+            return (L, U2, X1n, X1, loo(X1n), S1, it + 1)
+
+        def right(_):
+            L2 = X1
+            X2n = U - gold * (U - L2)
+            return (L2, U, X2, X2n, S2, loo(X2n), it + 1)
+
+        return jax.lax.cond(S1 < S2, left, right, None)
+
+    L, U, X1, X2, S1, S2, it = jax.lax.while_loop(cond, body, state)
+    lam = jnp.where(S1 < S2, X1, X2)
+    Le, coeffs = loo_c(lam)
+    return lam, Le, coeffs, it
+
+
+def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
+                        iters: int = 5, noisy: bool = False,
+                        log: Callable[[str], None] = print):
+    """The adaptive post-kernel fit in two dispatches: Krylov+moments,
+    then golden-search+solve.  Returns ``(AdaptiveEig, lam, Le, coeffs)``
+    or ``None`` when the dense path is the right call.  Shared by
+    ``model.fit`` and ``bench.py`` so both measure the same code."""
+    out = adaptive_eigensystem(K, eigtrunc=eigtrunc, iters=iters,
+                               noisy=noisy, log=log)
+    if out is None:
+        return None
+    dt = y_std.dtype
+    lam, Le, coeffs, _ = _golden_solve(
+        out.eig.vectors, out.eig.values, y_std,
+        jnp.asarray(out.L, dt), jnp.asarray(out.U, dt),
+        jnp.asarray(tol, dt))
+    return out, float(lam), Le, coeffs
+
+
 def adaptive_eigensystem(
     K,
     eigtrunc: float,

@@ -86,6 +86,24 @@ def test_adaptive_growth_and_parity(synth_spectrum):
     assert out.neffective(lam, n) == pytest.approx(neff_full, abs=0.05)
 
 
+def test_postkernel_adaptive_equals_stepwise_route(synth_spectrum):
+    """The fused golden+solve dispatch (``_golden_solve``) must reproduce
+    the stepwise lambda_search + solve_for_c route exactly — same control
+    flow, one dispatch instead of three."""
+    from bigkrls_tpu.ops.adaptive import postkernel_adaptive
+
+    Kj, yj, n = synth_spectrum
+    res = postkernel_adaptive(Kj, yj, 0.001, n / 1000.0)
+    assert res is not None
+    out, lam, Le, coeffs = res
+    lam_ref = float(lambda_search(out.eig, yj, L=out.L, U=out.U,
+                                  tol=n / 1000.0))
+    Le_ref, c_ref = solve_for_c(out.eig, yj, lam_ref)
+    assert lam == pytest.approx(lam_ref, rel=1e-12)
+    assert float(Le) == pytest.approx(float(Le_ref), rel=1e-12)
+    assert np.max(np.abs(np.asarray(coeffs) - np.asarray(c_ref))) < 1e-12
+
+
 def test_adaptive_fallback_flat_spectrum(rng):
     """High-dimensional X → nearly flat kernel spectrum → the truncation
     is never captured within max_fraction·N and the fit must fall back to
