@@ -35,15 +35,17 @@ def main():
     assert jax.default_backend() == "tpu", "sweep is meaningful on TPU only"
     rng = np.random.default_rng(0)
 
-    def timeit(fn, *args, reps=3, **kw):
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
-        ts = []
+    def timeit(fn, *args, reps=10, **kw):
+        # axon gotcha: block_until_ready does NOT wait for execution on
+        # the tunneled backend — force a host scalar.  Dispatch ``reps``
+        # times and force only the last output (in-order execution), so
+        # the ~25 ms tunnel RTT is amortized across the batch.
+        float(jnp.sum(fn(*args, **kw)))          # compile + first exec
+        t = time.time()
         for _ in range(reps):
-            t = time.time()
-            jax.block_until_ready(fn(*args, **kw))
-            ts.append(time.time() - t)
-        return float(np.median(ts))
+            out = fn(*args, **kw)
+        float(jnp.sum(out))
+        return (time.time() - t) / reps
 
     with jax.default_matmul_precision("highest"):
         # ---- kernel_matmul_pallas at the streaming shape class ----
