@@ -252,7 +252,7 @@ def _golden_solve(vectors, values, y_std, L, U, tol):
 
 
 def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
-                        iters: int = 5, noisy: bool = False,
+                        iters: Optional[int] = None, noisy: bool = False,
                         log: Callable[[str], None] = print):
     """The adaptive post-kernel fit in two dispatches: Krylov+moments,
     then golden-search+solve.  Returns ``(AdaptiveEig, lam, Le, coeffs)``
@@ -273,7 +273,7 @@ def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
 def adaptive_eigensystem(
     K,
     eigtrunc: float,
-    iters: int = 5,
+    iters: Optional[int] = None,
     seed: int = 0,
     max_fraction: float = 0.25,
     margin: int = 8,
@@ -297,8 +297,17 @@ def adaptive_eigensystem(
 
     Returns ``None`` whenever the dense path is the right call; never
     silently degrades accuracy (the no-silent-caps rule).
+
+    ``iters=None`` picks a precision-matched Krylov depth: 5 in f64
+    (eigenvalue error ~1e-14, coefficient parity ≤1e-7 — what the f64
+    oracle tests pin) and 4 in f32, where depth 4 already reaches ~8e-9
+    relative eigenvalue error — two decades below f32's own 1.2e-7 eps,
+    so a fifth iteration buys nothing but a wider (and slower) Ritz
+    problem.
     """
     n = int(K.shape[0])
+    if iters is None:
+        iters = 5 if K.dtype == jnp.float64 else 4
     kcap = (int(n * max_fraction) // 64) * 64
     if kcap < 64:
         if noisy:
@@ -310,7 +319,8 @@ def adaptive_eigensystem(
 
     for attempt in range(3):
         vals, vecs, moments = _krylov_moments(K, key, k, iters)
-        vals_np = np.asarray(jax.device_get(vals), dtype=np.float64)
+        vals_np, m_np = jax.device_get((vals, moments))   # one round trip
+        vals_np = np.asarray(vals_np, dtype=np.float64)
         if np.any(np.isnan(vals_np)):
             # reference guard (R/bigKRLS_Rcpp_functions.R:8-9)
             raise ValueError(
@@ -345,7 +355,7 @@ def adaptive_eigensystem(
         return None
 
     # tail quadrature from the deflated moments; m0 = count of the tail
-    m_np = np.asarray(jax.device_get(moments), dtype=np.float64)
+    m_np = np.asarray(m_np, dtype=np.float64)
     tail_m = np.concatenate([[float(n - k)], np.maximum(m_np, 0.0)])
     theta, w = _tail_atoms(tail_m)
     L = _lower_bound_completed(vals_np, theta, w)
