@@ -277,7 +277,7 @@ def eigensystem_streaming(
     mesh=None,
     progress=None,
     chunk: int = 4,
-    krylov: bool = True,
+    krylov: Optional[bool] = None,
 ) -> Eigensystem:
     """Truncated eigensystem of the (never-materialized) kernel of X_std.
 
@@ -306,7 +306,7 @@ def eigensystem_streaming(
     callback reflects real completion and KeyboardInterrupt lands between
     chunks instead of after the whole decomposition.
 
-    ``krylov=True`` (default) keeps every power step's block (kept
+    ``krylov=True`` keeps every power step's block (kept
     orthonormal progressively — per-block QR + block DGKS, see
     :func:`_subspace_iteration`) and runs the final Rayleigh–Ritz on the
     combined block-Krylov basis — same GEMM count as plain subspace
@@ -314,9 +314,14 @@ def eigensystem_streaming(
     depth 8 is machine-precision on a gap-free 1/k spectrum.  Memory is
     O(N·q·d) for the basis (plus the same again for the recorded K·B
     when the power products run at full precision — they are then reused
-    for Rayleigh–Ritz, saving a second full-width kernel pass); pass
-    ``krylov=False`` to restore the constant-memory power iteration when
-    that exceeds device HBM."""
+    for Rayleigh–Ritz, saving a second full-width kernel pass);
+    ``krylov=False`` restores the constant-memory power iteration.
+    ``krylov=None`` (default) picks automatically: the block-Krylov
+    basis unless its footprint (~2·N·(iters+1)·q elements) would exceed
+    ~60% of the device's memory (per ``memory_stats``, or an 8 GB
+    assumption when the backend does not report it) — at N=500k /
+    neig=200 the basis alone would be ~25 GB, so the fit degrades to
+    constant memory and SAYS so rather than OOMing."""
     from .matvec import (kernel_matmul, kernel_matmul_pallas,
                          kernel_matmul_pallas_fast)
     if matmul is None:
@@ -328,6 +333,29 @@ def eigensystem_streaming(
     neig = min(int(neig), n)
     key = jax.random.PRNGKey(seed)
     q, progressive = _krylov_geometry(n, neig, iters)
+
+    if krylov is None:
+        itemsize = jnp.dtype(X_std.dtype).itemsize
+        basis_bytes = 2 * n * (iters + 1) * q * itemsize   # B + recorded K·B
+        budget = None
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats:
+                budget = stats.get("bytes_limit")
+        except Exception:
+            budget = None
+        if budget is None:
+            budget = 8 * 1024 ** 3
+        krylov = basis_bytes <= 0.6 * budget
+        if not krylov:
+            import logging
+            logging.getLogger("bigkrls_tpu").warning(
+                "eigensystem_streaming: block-Krylov basis would need "
+                "%.1f GB (> 60%% of %.1f GB device memory); using the "
+                "constant-memory power iteration instead — raise `iters` "
+                "if trailing-eigenvalue accuracy matters at this scale",
+                basis_bytes / 1024 ** 3, budget / 1024 ** 3)
+
     V = _subspace_init(X_std, key, q)
 
     row_sharding = None
