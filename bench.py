@@ -317,9 +317,9 @@ def _streaming_secondaries(metrics, have_budget, log):
         t = _t.time()
         m2 = bk.fit(y2, X2, **kw)
         warm2 = _t.time() - t
-        # streaming matmul model: 9 Krylov products + Ritz pass, each
-        # 2N^2(P+q) with q=540 at neig=500
-        f_stream = 10.0 * 2.0 * n2 ** 2 * (p2 + 540)
+        # streaming matmul model: (depth 6 at f32) + init + Ritz
+        # products, each 2N^2(P+q) with q=540 at neig=500
+        f_stream = 8.0 * 2.0 * n2 ** 2 * (p2 + 540)
         log(f"N={n2 // 1000}k streaming full fit{note}: cold {cold:.1f}s, "
             f"warm {warm2:.2f}s (R2={m2.R2:.3f}) "
             f"[eig-phase ~{f_stream / warm2 / 1e12:.1f} TFLOP/s upper "

@@ -103,7 +103,7 @@ def _fit_impl(
     checkpoint_dir: Optional[str] = None,
     streaming: Optional[bool] = None,
     streaming_threshold: int = 32768,
-    eig_iters: int = 8,
+    eig_iters: Optional[int] = None,
     fast_eig_power: bool = False,
     ncores: Optional[int] = None,
     instructions: bool = False,
@@ -210,6 +210,12 @@ def _fit_impl(
     # ---- streaming decision (kernel-free large-N path) ----
     if streaming is None:
         streaming = n >= streaming_threshold and neig < n
+    if eig_iters is None:
+        # precision-matched Krylov depth (same argument as
+        # ops/adaptive.py): at f32, depth 6 already reproduces depth 8's
+        # λ exactly (measured at N=50k: identical λ, AME shift 1e-6,
+        # 19% faster); f64 parity runs keep the deeper basis
+        eig_iters = 8 if dtype == jnp.float64 else 6
     if streaming and neig >= n:
         raise ValueError(
             "streaming=True requires a truncated eigensystem: pass neig < n "
