@@ -265,6 +265,38 @@ def _krylov_ritz_streaming(X, B, KB, V_last, sigma, k: int, matmul,
     return _ritz_topk(B, KB, k)
 
 
+def _auto_krylov(n: int, q: int, iters: int, itemsize: int,
+                 budget: Optional[int] = None, fraction: float = 0.6) -> bool:
+    """Pick block-Krylov vs constant-memory power iteration by HBM fit.
+
+    The progressive basis costs ~2·N·(iters+1)·q elements (B plus the
+    recorded K·B); above ``fraction`` of the device's reported memory
+    (``memory_stats()['bytes_limit']``, or an 8 GB assumption when the
+    backend reports nothing — the axon tunnel does not) the solver
+    degrades to constant memory and logs why (no-silent-caps)."""
+    basis_bytes = 2 * n * (iters + 1) * q * itemsize
+    if budget is None:
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats:
+                budget = stats.get("bytes_limit")
+        except Exception:
+            budget = None
+        if budget is None:
+            budget = 8 * 1024 ** 3
+    ok = basis_bytes <= fraction * budget
+    if not ok:
+        import logging
+        logging.getLogger("bigkrls_tpu").warning(
+            "eigensystem_streaming: block-Krylov basis would need "
+            "%.1f GB (> %d%% of %.1f GB device memory); using the "
+            "constant-memory power iteration instead — raise `iters` "
+            "if trailing-eigenvalue accuracy matters at this scale",
+            basis_bytes / 1024 ** 3, int(fraction * 100),
+            budget / 1024 ** 3)
+    return ok
+
+
 def eigensystem_streaming(
     X_std,
     sigma,
@@ -335,26 +367,8 @@ def eigensystem_streaming(
     q, progressive = _krylov_geometry(n, neig, iters)
 
     if krylov is None:
-        itemsize = jnp.dtype(X_std.dtype).itemsize
-        basis_bytes = 2 * n * (iters + 1) * q * itemsize   # B + recorded K·B
-        budget = None
-        try:
-            stats = jax.devices()[0].memory_stats()
-            if stats:
-                budget = stats.get("bytes_limit")
-        except Exception:
-            budget = None
-        if budget is None:
-            budget = 8 * 1024 ** 3
-        krylov = basis_bytes <= 0.6 * budget
-        if not krylov:
-            import logging
-            logging.getLogger("bigkrls_tpu").warning(
-                "eigensystem_streaming: block-Krylov basis would need "
-                "%.1f GB (> 60%% of %.1f GB device memory); using the "
-                "constant-memory power iteration instead — raise `iters` "
-                "if trailing-eigenvalue accuracy matters at this scale",
-                basis_bytes / 1024 ** 3, budget / 1024 ** 3)
+        krylov = _auto_krylov(n, q, iters,
+                              jnp.dtype(X_std.dtype).itemsize)
 
     V = _subspace_init(X_std, key, q)
 

@@ -189,3 +189,27 @@ def test_blocked_predict_streaming_scale():
     with pytest.raises(ValueError, match="materialize_vcov"):
         bk.predict(m, Xnew, se_pred=True, block_size=100,
                    materialize_vcov=True)
+
+
+def test_auto_krylov_memory_selection(caplog):
+    """HBM-aware solver selection: block-Krylov unless the basis would
+    blow the device memory budget, in which case the constant-memory
+    power iteration is chosen WITH a logged explanation (the path that
+    makes fit() reach N=500k on one 16 GB chip instead of OOMing)."""
+    import logging
+    from bigkrls_tpu.ops.eig import _auto_krylov
+
+    gb = 1024 ** 3
+    # N=50k / neig=500 class: ~2.2 GB basis, fits a 16 GB budget
+    assert _auto_krylov(50_000, 540, 8, 4, budget=16 * gb)
+    # N=500k / neig=200 at depth 24: ~22 GB basis, does not fit
+    with caplog.at_level(logging.WARNING, logger="bigkrls_tpu"):
+        assert not _auto_krylov(500_000, 248, 24, 4, budget=16 * gb)
+    assert any("constant-memory" in r.message for r in caplog.records)
+    # and the whole streaming eig honors the override end-to-end
+    gen = np.random.default_rng(12)
+    X = jnp.asarray(gen.normal(size=(256, 4)))
+    e_k = eigensystem_streaming(X, 4.0, neig=16, iters=20, krylov=True)
+    e_p = eigensystem_streaming(X, 4.0, neig=16, iters=20, krylov=False)
+    assert np.max(np.abs(np.asarray(e_k.values_full)
+                         - np.asarray(e_p.values_full))) < 1e-6
