@@ -331,15 +331,23 @@ def _fit_impl(
         # device program — the step-by-step path pays ~8 host↔device
         # round trips (~25 ms each on a tunneled TPU) for identical math
         # (equality pinned in tests/test_fused.py).
-        from .ops.fused import postkernel_device
+        from .ops.fused import (HEARTBEAT_MIN_N, postkernel_device,
+                                set_heartbeat_log)
         if tol is None:
             tol = n / 1000.0
         if noisy:
             log(f"Steps 2-4: eigendecomposition + lambda search + solve "
                 f"(one fused device program) (t+{time.time() - t0:.1f}s)")
+        # heartbeat ticks cost one host round trip per golden-section
+        # iteration (~25 ms tunneled); only worth it when the fused
+        # program itself runs long (ADVICE r03) — small noisy fits get
+        # the post-hoc iteration-count line below instead
+        heartbeat = noisy and n > HEARTBEAT_MIN_N
+        if heartbeat:
+            set_heartbeat_log(log)
         vals, vecs, lk_d, lam_d, Le_f, coeffs_f, _spec, _fused_iters = \
             postkernel_device(K, y_std, jnp.asarray(eigtrunc, dtype),
-                              jnp.asarray(tol, dtype), heartbeat=noisy)
+                              jnp.asarray(tol, dtype), heartbeat=heartbeat)
         vals_np = np.asarray(jax.device_get(vals))
         if np.any(np.isnan(vals_np)):
             # reference guard (R/bigKRLS_Rcpp_functions.R:8-9)
@@ -533,6 +541,13 @@ def _fit_impl(
         timings=_timer.phases,
         sharding_report=sharding_report,
         eig_path=eig_path,
+        # adaptive path: K_eigenvalues is the computed head only; expose
+        # the tail quadrature so consumers need not parse eig_path
+        # (ADVICE r03; see types.KRLSModel.spectrum_is_complete)
+        eig_tail_theta=(adaptive_out.tail_theta if adaptive_out is not None
+                        else None),
+        eig_tail_w=(adaptive_out.tail_w if adaptive_out is not None
+                    else None),
     )
     if noisy:
         log(f"Done (t+{time.time() - t0:.1f}s)")

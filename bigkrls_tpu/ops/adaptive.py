@@ -140,10 +140,13 @@ def _lower_bound_completed(head, theta, w) -> float:
     """Reference L loop (``:26-34``) on the completed spectrum: smallest
     L = eps + 0.05k with Σ λ/(λ+L) ≤ q, q = 1-based argmin |λᵢ − λ₁/1000|.
 
-    The q index is taken over the head only: the a-posteriori truncation
-    check guarantees the head extends past ``eigtrunc·λ₁``, and with the
-    default ``eigtrunc = 0.001`` the crossing of λ₁/1000 always lies
-    inside it (tail atoms are aggregates, not order statistics)."""
+    The q index is taken over the head only: valid because the
+    a-posteriori truncation check in :func:`adaptive_eigensystem`
+    verifies the head extends past ``min(eigtrunc, 1e-3)·λ₁`` — i.e.
+    past the λ₁/1000 crossing even when the caller's ``eigtrunc`` is
+    coarser than the 0.001 default (ADVICE r03, medium) — so the
+    crossing always lies inside the computed head (tail atoms are
+    aggregates, not order statistics, and must never supply q)."""
     q = int(np.argmin(np.abs(head - head[0] / 1000.0))) + 1
     if _wsum(head, theta, w, _EPS) <= q:
         return _EPS
@@ -285,10 +288,15 @@ def adaptive_eigensystem(
     Protocol (VERDICT r02 next-round #1):
 
     1. block-Krylov top-k pairs + deflated tail moments, k₀ ≈ N/16;
-    2. verify a posteriori that the spectrum crossed ``eigtrunc·λ₁``
-       at least ``margin`` indices before k (Ritz values at the basis
-       edge are the least converged — the margin keeps the kept
-       spectrum well inside the converged region);
+    2. verify a posteriori that the spectrum crossed
+       ``min(eigtrunc, 1e-3)·λ₁`` at least ``margin`` indices before k
+       (Ritz values at the basis edge are the least converged — the
+       margin keeps the kept spectrum well inside the converged
+       region).  The λ₁/1000 floor is NOT the truncation rule — it
+       guarantees the λ-search's q index (1-based argmin
+       |λᵢ − λ₁/1000|, a parity-critical bound input) is computable
+       from the head alone even under a coarse ``eigtrunc`` like 0.01
+       (ADVICE r03, medium);
     3. if not: extrapolate the decay to estimate the needed k, grow and
        retry — or return ``None`` (→ caller runs the exact dense eigh)
        when the estimate exceeds ``max_fraction·N``, where dense wins;
@@ -327,11 +335,16 @@ def adaptive_eigensystem(
                 "Missing eigenvalues prevent obtaining the regularization "
                 "parameter lambda. Check for repeated observations (or "
                 "other perfect linear combinations in X).")
-        thresh = eigtrunc * vals_np[0]
+        # capture must reach past BOTH eigtrunc·λ₁ (the truncation rule)
+        # and λ₁/1000 (the λ-search q-index input) — with a coarse
+        # eigtrunc the second is the binding one (ADVICE r03, medium)
+        cap_trunc = min(eigtrunc, 1e-3)
+        cap_thresh = cap_trunc * vals_np[0]
+        k_capture = lastkeeper_from_values(vals_np, cap_trunc)
         lastkeeper = lastkeeper_from_values(vals_np, eigtrunc)
-        if vals_np[k - 1] < thresh and lastkeeper <= k - margin:
+        if vals_np[k - 1] < cap_thresh and k_capture <= k - margin:
             break
-        khat = _extrapolate_khat(vals_np, thresh)
+        khat = _extrapolate_khat(vals_np, cap_thresh)
         if khat is None or khat > kcap:
             if noisy:
                 log(f"  adaptive eig: spectrum too flat (needs "

@@ -38,11 +38,17 @@ to the O(N³/devices) sweep work).  Fusing the mesh path would therefore
 buy nothing real and would force the gathered-eigh regression that
 round 2 was faulted for.
 
-``heartbeat=True`` (used by noisy fits) emits an ordered ``io_callback``
-tick per golden-section iteration — the reference prints a progress dot
-from inside every C++ hot loop (``src/solveforc.cpp:48-52``, SURVEY.md
+``heartbeat=True`` emits an ordered ``io_callback`` tick per
+golden-section iteration — the reference prints a progress dot from
+inside every C++ hot loop (``src/solveforc.cpp:48-52``, SURVEY.md
 §2.13); this is the analog from inside a single fused device program.
-Each tick costs a host round trip, so it is opt-in via noisy mode.
+Each tick costs a host round trip (~25 ms on a tunneled TPU), so
+(ADVICE r03): the host-side sink prints only every ``HEARTBEAT_EVERY``-th
+iteration through the log function registered via
+:func:`set_heartbeat_log` (so ``fit(log=...)`` callers see the ticks,
+not raw stdout), and ``model.fit`` enables it only for fits large enough
+that the fused program runs long enough to need progress at all
+(``n > HEARTBEAT_MIN_N``), not for every noisy fit.
 """
 from __future__ import annotations
 
@@ -55,8 +61,24 @@ _GOLD = 0.381966
 _EPS = 2.220446049250313e-16  # R's .Machine$double.eps
 
 
+# progress ticks surface through whatever log the current fit registered
+# (default print), and only every HEARTBEAT_EVERY-th iteration — the
+# device still pays one ordered-callback round trip per iteration when
+# heartbeat=True, which is why model.fit gates it on HEARTBEAT_MIN_N
+HEARTBEAT_EVERY = 4
+HEARTBEAT_MIN_N = 8192
+_heartbeat_log = [print]
+
+
+def set_heartbeat_log(log) -> None:
+    """Register the sink for heartbeat ticks (the fit's ``log=`` arg)."""
+    _heartbeat_log[0] = log
+
+
 def _heartbeat_tick(it):
-    print(f"  golden-section iteration {int(it)}", flush=True)
+    it = int(it)
+    if it % HEARTBEAT_EVERY == 0:
+        _heartbeat_log[0](f"  golden-section iteration {it}")
 
 
 def _sum_filter(values, lam):

@@ -37,7 +37,7 @@ MMAP_THRESHOLD = 4_000_000  # elements; above this prefer raw-binary streaming
 _MODEL_ARRAYS = [
     "X", "y", "K", "coeffs", "yfitted", "K_eigenvalues", "derivatives",
     "avgderivatives", "var_avgderivatives", "binaryindicator",
-    "x_means", "x_sds",
+    "x_means", "x_sds", "eig_tail_theta", "eig_tail_w",
 ]
 _MODEL_SCALARS = [
     "sigma", "lambda_", "looe", "R2", "R2AME", "lastkeeper", "neffective",
@@ -193,6 +193,7 @@ def _load_one(folder: str):
             y_mean=meta["y_mean"], y_sd=meta["y_sd"],
             x_means=g("x_means"), x_sds=g("x_sds"), path=folder,
             eig_path=meta.get("eig_path"),
+            eig_tail_theta=g("eig_tail_theta"), eig_tail_w=g("eig_tail_w"),
         )
     if cls == "KRLSPrediction":
         return KRLSPrediction(

@@ -91,6 +91,16 @@ def _predict_impl(
     U, n = new_std.shape[0], X_std.shape[0]
     if block_size is None and U * n > AUTO_BLOCK_ELEMS:
         block_size = max(1, AUTO_BLOCK_ELEMS // n)
+        # no-silent-caps (ADVICE r03): auto-blocking changes the return
+        # contract — newdataK comes back None because storing the U×N
+        # cross kernel is exactly what this path avoids
+        import logging
+        logging.getLogger("bigkrls_tpu").warning(
+            "predict: U*N = %d cross-kernel elements exceeds %d; switching "
+            "to the blocked streaming path (block_size=%d). "
+            "prediction.newdataK will be None — pass block_size >= "
+            "nrow(newdata) to force the dense cross kernel if you need it "
+            "(and have the memory).", U * n, AUTO_BLOCK_ELEMS, block_size)
     blocked = block_size is not None and block_size < U
     if blocked and materialize_vcov:
         raise ValueError(

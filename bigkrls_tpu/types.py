@@ -123,7 +123,14 @@ class KRLSModel:
     R2AME: Optional[float]
 
     # --- spectral objects ---
-    K_eigenvalues: Array           # (neig,) descending, full list
+    # (neig,) descending.  Full length-N list on the dense/full paths; on
+    # the adaptive-truncation path (eig_path "adaptive-krylov:k=…") this
+    # holds only the k computed head eigenvalues — the uncomputed tail is
+    # summarized by `eig_tail_theta`/`eig_tail_w` (moment-quadrature atoms
+    # s.t. Σ_tail f(λ) ≈ Σ wᵢ f(θᵢ)).  Consumers computing their own
+    # spectrum statistics should check `spectrum_is_complete` rather than
+    # assume length N (ADVICE r03).
+    K_eigenvalues: Array
     lastkeeper: int
     neffective: float
     neffective_acf: Optional[float]
@@ -157,6 +164,19 @@ class KRLSModel:
     # "adaptive-krylov:k=<k>", "eigh-fused(adaptive-fallback)",
     # "streaming-krylov", "stepwise:<method>", or "checkpoint"
     eig_path: Optional[str] = None
+    # tail-spectrum quadrature atoms/weights when K_eigenvalues is a
+    # truncated head (adaptive path): Σ_{tail} f(λ) ≈ Σᵢ wᵢ f(θᵢ).
+    # None whenever K_eigenvalues is the complete spectrum.
+    eig_tail_theta: Optional[Array] = None
+    eig_tail_w: Optional[Array] = None
+
+    @property
+    def spectrum_is_complete(self) -> bool:
+        """True when ``K_eigenvalues`` holds the full spectrum (one value
+        per observation); False on the adaptive-truncation path, where it
+        is the computed head and ``eig_tail_theta``/``eig_tail_w``
+        summarize the rest."""
+        return int(np.asarray(self.K_eigenvalues).shape[0]) == self.n
 
     @property
     def n(self) -> int:

@@ -104,6 +104,30 @@ def test_postkernel_adaptive_equals_stepwise_route(synth_spectrum):
     assert np.max(np.abs(np.asarray(coeffs) - np.asarray(c_ref))) < 1e-12
 
 
+def test_adaptive_coarse_eigtrunc_q_index_guard(synth_spectrum):
+    """ADVICE r03 (medium): with a coarse eigtrunc (0.01 ≫ 0.001) the
+    λ-search's q index (argmin |λ−λ₁/1000|) lies BEYOND lastkeeper, so
+    the head must be verified to extend past λ₁/1000 — otherwise L (and
+    the often-pinned λ*) silently diverges from the full-spectrum
+    heuristic.  The guard requires capture past min(eigtrunc, 1e-3)·λ₁."""
+    Kj, yj, n = synth_spectrum
+    out = adaptive_eigensystem(Kj, eigtrunc=0.01)
+    assert out is not None
+    vals = np.asarray(out.eig.values_full, dtype=np.float64)
+    # head must cross λ₁/1000, not merely eigtrunc·λ₁ (idx ~208 vs ~138)
+    assert vals[-1] < vals[0] / 1000.0
+    # bounds (hence λ*) must equal the exact full-spectrum heuristics
+    from bigkrls_tpu.lambda_search import _lower_bound, _upper_bound
+    full = eigensystem(Kj, eigtrunc=0.01)
+    vf = np.asarray(full.values_full, dtype=np.float64)
+    assert out.L == pytest.approx(_lower_bound(vf), rel=1e-9)
+    assert out.U == pytest.approx(_upper_bound(vf, n), rel=1e-9)
+    assert out.eig.lastkeeper == full.lastkeeper
+    lam_full = float(lambda_search(full, yj))
+    lam = float(lambda_search(out.eig, yj, L=out.L, U=out.U))
+    assert lam == pytest.approx(lam_full, rel=1e-6)
+
+
 def test_adaptive_fallback_flat_spectrum(rng):
     """High-dimensional X → nearly flat kernel spectrum → the truncation
     is never captured within max_fraction·N and the fit must fall back to
