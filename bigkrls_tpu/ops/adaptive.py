@@ -273,6 +273,19 @@ def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
     return out, float(lam), Le, coeffs
 
 
+def resume_adaptive(out: "AdaptiveEig", y_std, tol: float):
+    """Golden search + spectral solve from a checkpointed
+    :class:`AdaptiveEig` — the Krylov/moment work (the expensive prefix)
+    is already done; only the single fused golden+solve dispatch runs.
+    Returns ``(lam, Le, coeffs)``.  (VERDICT r03 next-round #5.)"""
+    dt = y_std.dtype
+    lam, Le, coeffs, _ = _golden_solve(
+        out.eig.vectors, out.eig.values, y_std,
+        jnp.asarray(out.L, dt), jnp.asarray(out.U, dt),
+        jnp.asarray(tol, dt))
+    return float(lam), Le, coeffs
+
+
 def adaptive_eigensystem(
     K,
     eigtrunc: float,

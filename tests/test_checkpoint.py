@@ -32,6 +32,38 @@ def test_checkpoint_resume_identical(tmp_path):
     assert np.array_equal(m1.derivatives, m2.derivatives)
 
 
+def test_checkpoint_adaptive_resume_bit_exact(tmp_path):
+    """VERDICT r03 next-round #5: checkpoint_dir must not route around
+    the adaptive path.  The saving fit takes adaptive-krylov; the resumed
+    fit loads the head pairs + completed-spectrum bounds + tail
+    quadrature and re-runs ONLY the fused golden+solve dispatch — the
+    very same device program with the same inputs, so λ*/coefficients
+    are bit-exact, and Neffective still uses the tail quadrature."""
+    rng = np.random.default_rng(3)
+    n, p = 2048, 3
+    X = rng.normal(size=(n, p))
+    y = np.asarray(np.sin(X[:, 0]) + X[:, 1] + 0.2 * rng.normal(size=n))
+    d = str(tmp_path / "ck")
+    m1 = bk.fit(y, X, noisy=False, eigtrunc=0.001, derivative=False,
+                checkpoint_dir=d)
+    assert m1.eig_path.startswith("adaptive-krylov"), m1.eig_path
+    assert os.path.exists(os.path.join(d, "adaptive_meta.json"))
+    m2 = bk.fit(y, X, noisy=False, eigtrunc=0.001, derivative=False,
+                checkpoint_dir=d)
+    assert m2.eig_path == "checkpoint"
+    assert m1.lambda_ == m2.lambda_
+    assert np.array_equal(m1.coeffs, m2.coeffs)
+    assert m1.neffective == m2.neffective
+    assert m1.looe == m2.looe
+    # the resumed model still knows its spectrum is a truncated head
+    assert not m2.spectrum_is_complete
+    assert m2.eig_tail_theta is not None and m2.eig_tail_theta.size > 0
+    # a config change invalidates the adaptive checkpoint too
+    m3 = bk.fit(y, X, noisy=False, eigtrunc=0.002, derivative=False,
+                checkpoint_dir=d)
+    assert m3.eig_path != "checkpoint"
+
+
 def test_checkpoint_invalidated_on_data_change(tmp_path):
     y, X = _data()
     d = str(tmp_path / "ck")
