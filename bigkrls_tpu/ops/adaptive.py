@@ -256,13 +256,19 @@ def _golden_solve(vectors, values, y_std, L, U, tol):
 
 def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
                         iters: Optional[int] = None, noisy: bool = False,
-                        log: Callable[[str], None] = print):
+                        mesh=None, log: Callable[[str], None] = print):
     """The adaptive post-kernel fit in two dispatches: Krylov+moments,
     then golden-search+solve.  Returns ``(AdaptiveEig, lam, Le, coeffs)``
     or ``None`` when the dense path is the right call.  Shared by
-    ``model.fit`` and ``bench.py`` so both measure the same code."""
+    ``model.fit`` and ``bench.py`` so both measure the same code.
+
+    ``mesh``: the adaptive route is mesh-capable (VERDICT r03 #1) — K
+    arrives block-sharded, every Krylov/moment GEMM runs partitioned
+    (XLA propagates the operand shardings), and the returned eigenbasis
+    is committed row-sharded so all downstream O(N·k) work stays
+    distributed.  Only the tiny Ritz/quadrature objects are replicated."""
     out = adaptive_eigensystem(K, eigtrunc=eigtrunc, iters=iters,
-                               noisy=noisy, log=log)
+                               noisy=noisy, mesh=mesh, log=log)
     if out is None:
         return None
     dt = y_std.dtype
@@ -294,6 +300,7 @@ def adaptive_eigensystem(
     max_fraction: float = 0.25,
     margin: int = 8,
     noisy: bool = False,
+    mesh=None,
     log: Callable[[str], None] = print,
 ) -> Optional[AdaptiveEig]:
     """Compute only ~lastkeeper eigenpairs of K, with verified truncation.
@@ -391,7 +398,17 @@ def adaptive_eigensystem(
             f"(lastkeeper={lastkeeper}); tail completed by "
             f"{theta.size}-point moment quadrature for the lambda bounds")
 
-    eig = Eigensystem(values_full=vals, vectors=vecs[:, :lastkeeper],
+    vectors = vecs[:, :lastkeeper]
+    if mesh is not None:
+        # commit the eigenbasis row-sharded over the mesh's first axis so
+        # every downstream O(N·k) GEMM (golden solve, vcov quadratic
+        # forms, derivative assembly) runs partitioned; the (k,) values
+        # and quadrature atoms stay replicated — they are tiny
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.sharded import commit
+        vectors = commit(vectors, NamedSharding(
+            mesh, PartitionSpec(mesh.axis_names[0], None)))
+    eig = Eigensystem(values_full=vals, vectors=vectors,
                       lastkeeper=lastkeeper)
     return AdaptiveEig(eig=eig, L=float(L), U=float(U), k=k,
                        tail_theta=theta, tail_w=w)
