@@ -463,6 +463,32 @@ def lastkeeper_from_values(values: np.ndarray, eigtrunc: float) -> int:
     return int(idx.max()) + 1
 
 
+def _replicated_eigh_fits(n: int, itemsize: int, budget: Optional[int] = None,
+                          fraction: float = 0.35) -> bool:
+    """Memory-crossover heuristic for the FULL-spectrum decomposition
+    under a mesh (the documented Jacobi crossover, VERDICT r03 #2).
+
+    A replicated ``eigh`` needs the gathered operator plus workspace and
+    eigenvectors on EVERY device (~3·N² elements each); block Jacobi
+    keeps everything block-sharded (~3·N²/devices each) but costs
+    ~(sweeps·12bN²·(nb−1)) ≈ 10× the eigh FLOPs — wall-clock-measured at
+    30–100× eigh on the 8-virtual-device CPU mesh (tools/
+    jacobi_crossover.py; see docs/performance.md).  So the crossover is
+    a MEMORY crossover, not a FLOP one: replicate while the operator
+    fits comfortably per device, distribute when it cannot."""
+    need = 3 * n * n * itemsize
+    if budget is None:
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats:
+                budget = stats.get("bytes_limit")
+        except Exception:
+            budget = None
+        if budget is None:
+            budget = 8 * 1024 ** 3
+    return need <= fraction * budget
+
+
 def eigensystem(
     K,
     neig: Optional[int] = None,
@@ -502,7 +528,22 @@ def eigensystem(
         if neig < n and mesh is not None:
             method = "subspace"
         elif mesh is not None:
-            method = "jacobi"
+            # full spectrum under a mesh: replicated eigh while the
+            # operator fits per-device memory (it is 30-100× faster at
+            # that scale — measured, docs/performance.md), distributed
+            # block Jacobi once it cannot (the memory crossover)
+            import logging
+            if _replicated_eigh_fits(n, jnp.dtype(K.dtype).itemsize):
+                method = "full"
+                logging.getLogger("bigkrls_tpu").info(
+                    "mesh full-spectrum eig: operator fits per-device "
+                    "memory; using replicated eigh (the measured fast "
+                    "side of the Jacobi memory crossover)")
+            else:
+                method = "jacobi"
+                logging.getLogger("bigkrls_tpu").info(
+                    "mesh full-spectrum eig: N=%d too large to replicate; "
+                    "using distributed block Jacobi", n)
         elif neig >= n:
             method = "full"
         elif neig * 8 <= n:

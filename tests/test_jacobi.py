@@ -79,29 +79,42 @@ def test_jacobi_padded_awkward_n():
 def test_jacobi_sweep_stays_partitioned(mesh):
     """The eig phase's large intermediates (working operator A and
     eigenvector accumulator Q) are genuinely partitioned across the
-    8-device mesh after a sharded sweep — the VERDICT done-bar."""
-    from bigkrls_tpu.parallel.jacobi import _sweep_sharded
+    8-device mesh after a hybrid sweep (host pair-eigh + sharded stripe
+    updates) — the VERDICT done-bar."""
+    from bigkrls_tpu.parallel.jacobi import _sweep_hybrid
     rng = np.random.default_rng(5)
     n = 64
     A = rng.normal(size=(n, n))
     A = jnp.asarray(0.5 * (A + A.T))
     b, nb, n_pad = _blocking(n, 8)
     assert n_pad == n
-    sched = jnp.asarray(round_robin_schedule(nb))
+    sched = round_robin_schedule(nb)
     As = jax.device_put(A, block_sharding(mesh))
     Qs = jax.device_put(jnp.eye(n), block_sharding(mesh))
-    A2, Q2, off = _sweep_sharded(mesh, b)(As, Qs, sched)
+    A2, Q2, off = _sweep_hybrid(As, Qs, sched, b, mesh)
     for arr in (A2, Q2):
         assert not arr.sharding.is_fully_replicated
         assert len({s.device for s in arr.addressable_shards}) == 8
         assert arr.addressable_shards[0].data.shape[0] < n
         assert arr.addressable_shards[0].data.shape[1] < n
+    # one hybrid sweep = one _sweep (device-eigh) sweep, same math up to
+    # the per-pair eigenvector sign/rotation freedom: compare the
+    # sign-invariant diagnostics (off-diagonal mass, diagonal entries)
+    from bigkrls_tpu.parallel.jacobi import _sweep
+    A1, Q1, off1 = _sweep(A, jnp.eye(n), jnp.asarray(sched), b=b)
+    assert float(off) == pytest.approx(float(off1), rel=1e-6)
+    assert np.allclose(np.sort(np.diag(np.asarray(A2))),
+                       np.sort(np.diag(np.asarray(A1))), atol=1e-8)
 
 
 def test_full_spectrum_mesh_fit_parity_and_distribution(mesh):
-    """fit(mesh=..., neig=n): auto routes the full decomposition through
-    block Jacobi; results match the single-device dense fit and the
-    model's sharding audit shows partitioned Q."""
+    """fit(mesh=..., neig=n): at this size "auto" takes the measured
+    fast side of the Jacobi memory crossover (replicated eigh — the
+    operator fits per device) but every downstream object is still
+    committed partitioned; results match the single-device dense fit.
+    The distributed-Jacobi side of the crossover is exercised explicitly
+    below (eig_method="jacobi") and auto-selects only when the operator
+    cannot be replicated (docs/performance.md)."""
     rng = np.random.default_rng(6)
     n, p = 64, 3
     X = rng.normal(size=(n, p))
@@ -113,6 +126,26 @@ def test_full_spectrum_mesh_fit_parity_and_distribution(mesh):
     assert np.max(np.abs(m1.coeffs - m2.coeffs)) < 1e-8
     assert np.max(np.abs(m1.yfitted - m2.yfitted)) < 1e-8
     assert np.max(np.abs(m1.derivatives - m2.derivatives)) < 1e-7
+    rep = m2.sharding_report
+    assert not rep["Q"]["replicated"]
+    assert rep["Q"]["shard_shape"][0] < n
+
+
+def test_full_spectrum_mesh_fit_jacobi_forced(mesh):
+    """fit(mesh=..., eig_method="jacobi"): the distributed-Jacobi side
+    of the crossover through the whole pipeline — hybrid sweeps (host
+    pair-eigh + sharded stripe updates), partitioned Q, parity with the
+    single-device dense fit."""
+    rng = np.random.default_rng(6)
+    n, p = 64, 3
+    X = rng.normal(size=(n, p))
+    y = np.asarray(np.sin(X[:, 0]) + X[:, 1] + 0.2 * rng.normal(size=n))
+    m1 = bk.fit(y, X, noisy=False)
+    m2 = bk.fit(y, X, noisy=False, mesh=mesh, eig_method="jacobi")
+    assert m2.eig_path == "stepwise:jacobi"
+    assert abs(m1.lambda_ - m2.lambda_) < 1e-9
+    assert np.max(np.abs(m1.coeffs - m2.coeffs)) < 1e-8
+    assert np.max(np.abs(m1.yfitted - m2.yfitted)) < 1e-8
     rep = m2.sharding_report
     assert not rep["Q"]["replicated"]
     assert rep["Q"]["shard_shape"][0] < n
