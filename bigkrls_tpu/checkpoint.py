@@ -71,20 +71,41 @@ def _adaptive_paths(ckpt_dir: str):
             os.path.join(ckpt_dir, "adaptive_vectors.npy"))
 
 
-def save_adaptive(ckpt_dir: str, fp: str, out) -> None:
+def solution_fingerprint(y_std: np.ndarray, tol: float) -> str:
+    """Fingerprint of the λ-search inputs NOT covered by the eig
+    fingerprint (y and the golden-search tolerance)."""
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(np.asarray(y_std,
+                                             dtype=np.float64)).tobytes())
+    h.update(json.dumps([float(tol)]).encode())
+    return h.hexdigest()[:32]
+
+
+def save_adaptive(ckpt_dir: str, fp: str, out, sol_fp: Optional[str] = None,
+                  lam: Optional[float] = None, Le=None,
+                  coeffs=None) -> None:
     """Checkpoint an ``ops.adaptive.AdaptiveEig`` — the head eigenpairs
     PLUS the moment-completed λ-search bounds and tail quadrature.  The
     bounds/tail must ride along: they are the only part of the result
     that encodes the uncomputed tail spectrum, and recomputing them
     requires the deflated moments (three more N×N GEMMs).  This is what
     lets ``checkpoint_dir`` coexist with the fast adaptive route instead
-    of forcing the slow stepwise dense path (VERDICT r03 weak #2)."""
+    of forcing the slow stepwise dense path (VERDICT r03 weak #2).
+
+    When ``sol_fp``/``lam``/``Le``/``coeffs`` are given, the SOLUTION is
+    checkpointed alongside, keyed by the (y, tol) fingerprint: a refit
+    on identical inputs resumes bit-exact with zero device work, while a
+    refit with a different y/tol reuses the eig prefix and re-runs only
+    the golden+solve dispatch."""
     os.makedirs(ckpt_dir, exist_ok=True)
     meta_p, vals_p, vecs_bin, vecs_npy = _adaptive_paths(ckpt_dir)
-    np.savez(vals_p,
-             values=np.asarray(out.eig.values_full, dtype=np.float64),
-             tail_theta=np.asarray(out.tail_theta, dtype=np.float64),
-             tail_w=np.asarray(out.tail_w, dtype=np.float64))
+    arrays = dict(
+        values=np.asarray(out.eig.values_full, dtype=np.float64),
+        tail_theta=np.asarray(out.tail_theta, dtype=np.float64),
+        tail_w=np.asarray(out.tail_w, dtype=np.float64))
+    if coeffs is not None:
+        arrays["coeffs"] = np.asarray(coeffs, dtype=np.float64)
+    np.savez(vals_p, **arrays)
     vecs = np.asarray(out.eig.vectors, dtype=np.float64)
     wrote_native = False
     try:
@@ -97,17 +118,25 @@ def save_adaptive(ckpt_dir: str, fp: str, out) -> None:
     if not wrote_native:
         np.save(vecs_npy, vecs)
     # meta written LAST: its presence marks a complete checkpoint
+    meta = {"fingerprint": fp, "lastkeeper": out.eig.lastkeeper,
+            "k": out.k, "L": out.L, "U": out.U, "native": wrote_native}
+    if sol_fp is not None and lam is not None:
+        meta["sol_fp"] = sol_fp
+        meta["lam"] = float(lam)
+        meta["Le"] = float(Le)
     with open(meta_p, "w") as fh:
-        json.dump({"fingerprint": fp, "lastkeeper": out.eig.lastkeeper,
-                   "k": out.k, "L": out.L, "U": out.U,
-                   "native": wrote_native}, fh)
+        json.dump(meta, fh)
 
 
-def load_adaptive(ckpt_dir: str, fp: str, dtype):
-    """Load a checkpointed adaptive eigensystem; returns an
-    ``ops.adaptive.AdaptiveEig`` or None (missing / fingerprint mismatch
-    / corruption — corruption is detected by the native store's checksum
-    and answered by recomputing, never by a partial resume)."""
+def load_adaptive(ckpt_dir: str, fp: str, dtype,
+                  sol_fp: Optional[str] = None):
+    """Load a checkpointed adaptive eigensystem; returns
+    ``(AdaptiveEig, solution)`` — where ``solution`` is
+    ``(lam, Le, coeffs)`` if the stored solution's (y, tol) fingerprint
+    matches ``sol_fp``, else None — or None overall (missing /
+    fingerprint mismatch / corruption — corruption is detected by the
+    native store's checksum and answered by recomputing, never by a
+    partial resume)."""
     meta_p, vals_p, vecs_bin, vecs_npy = _adaptive_paths(ckpt_dir)
     if not os.path.exists(meta_p):
         return None
@@ -120,6 +149,7 @@ def load_adaptive(ckpt_dir: str, fp: str, dtype):
             values = data["values"]
             tail_theta = data["tail_theta"]
             tail_w = data["tail_w"]
+            coeffs = data["coeffs"] if "coeffs" in data.files else None
         if meta.get("native"):
             from .native.matstore import read_matrix
             vectors = read_matrix(vecs_bin)   # checksum-verified
@@ -131,9 +161,15 @@ def load_adaptive(ckpt_dir: str, fp: str, dtype):
             vectors=jnp.asarray(vectors, dtype=dtype),
             lastkeeper=int(meta["lastkeeper"]),
         )
-        return AdaptiveEig(eig=eig, L=float(meta["L"]), U=float(meta["U"]),
-                           k=int(meta["k"]), tail_theta=tail_theta,
-                           tail_w=tail_w)
+        out = AdaptiveEig(eig=eig, L=float(meta["L"]), U=float(meta["U"]),
+                          k=int(meta["k"]), tail_theta=tail_theta,
+                          tail_w=tail_w)
+        sol = None
+        if (sol_fp is not None and coeffs is not None
+                and meta.get("sol_fp") == sol_fp):
+            sol = (float(meta["lam"]), float(meta["Le"]),
+                   jnp.asarray(coeffs, dtype=dtype))
+        return out, sol
     except Exception:
         # any corruption -> recompute
         return None

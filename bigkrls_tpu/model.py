@@ -304,10 +304,16 @@ def _fit_impl(
                                    str(jnp.dtype(dtype)))
         if adaptive_eligible:
             # adaptive checkpoint: head eigenpairs + completed-spectrum
-            # λ bounds + tail quadrature; only golden+solve re-runs
-            adaptive_out = ckpt.load_adaptive(checkpoint_dir, ckpt_fp, dtype)
-            if adaptive_out is not None:
-                from .ops.adaptive import resume_adaptive
+            # λ bounds + tail quadrature, PLUS the solution keyed by a
+            # (y, tol) fingerprint — identical refits resume bit-exact
+            # with no device work; a changed y/tol reuses the eig prefix
+            # and re-runs only the golden+solve dispatch
+            sol_fp = ckpt.solution_fingerprint(
+                host_gather(y_std), n / 1000.0 if tol is None else tol)
+            loaded = ckpt.load_adaptive(checkpoint_dir, ckpt_fp, dtype,
+                                        sol_fp)
+            if loaded is not None:
+                adaptive_out, sol = loaded
                 if mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec
                     from .parallel.sharded import commit
@@ -320,11 +326,15 @@ def _fit_impl(
                 eig_path = "checkpoint"
                 if noisy:
                     log(f"Steps 2-4: adaptive truncation (resumed from "
-                        f"checkpoint) (t+{time.time() - t0:.1f}s)")
-                lam_a, Le_a, coeffs_a = resume_adaptive(
-                    adaptive_out, y_std,
-                    n / 1000.0 if tol is None else tol)
-                fused_out = (lam_a, Le_a, coeffs_a)
+                        f"checkpoint{' incl. solution' if sol else ''}) "
+                        f"(t+{time.time() - t0:.1f}s)")
+                if sol is not None:
+                    fused_out = sol
+                else:
+                    from .ops.adaptive import resume_adaptive
+                    fused_out = resume_adaptive(
+                        adaptive_out, y_std,
+                        n / 1000.0 if tol is None else tol)
         if eig is None:
             eig = ckpt.load_eig(checkpoint_dir, ckpt_fp, dtype)
             if eig is not None:
@@ -356,7 +366,12 @@ def _fit_impl(
             fused_out = (lam_a, Le_a, coeffs_a)
             if checkpoint_dir is not None:
                 from . import checkpoint as ckpt
-                ckpt.save_adaptive(checkpoint_dir, ckpt_fp, adaptive_out)
+                ckpt.save_adaptive(
+                    checkpoint_dir, ckpt_fp, adaptive_out,
+                    sol_fp=ckpt.solution_fingerprint(
+                        host_gather(y_std),
+                        n / 1000.0 if tol is None else tol),
+                    lam=lam_a, Le=Le_a, coeffs=host_gather(coeffs_a))
             if noisy:
                 log(f"Lambda: {lam_a:.6g} (t+{time.time() - t0:.1f}s)")
     if adaptive_out is None and eig_method == "adaptive":

@@ -183,6 +183,43 @@ def _extrapolate_khat(vals: np.ndarray, thresh: float) -> Optional[int]:
     return int(math.ceil(k + (math.log(thresh) - logs[-1]) / slope))
 
 
+def _capture_plan(vals_np: np.ndarray, eigtrunc: float, k: int, kcap: int,
+                  n: Optional[int] = None, margin: int = 8,
+                  noisy: bool = False,
+                  log: Callable[[str], None] = print):
+    """A-posteriori truncation-capture decision shared by the fused and
+    stepwise adaptive drivers.  Returns ``("ok", lastkeeper)``,
+    ``("grow", knext)`` or ``("fallback", None)``.
+
+    Capture must reach past BOTH eigtrunc·λ₁ (the truncation rule) and
+    λ₁/1000 (the λ-search q-index input) — with a coarse eigtrunc the
+    second is the binding one (ADVICE r03, medium)."""
+    n = vals_np.shape[0] if n is None else n
+    cap_trunc = min(eigtrunc, 1e-3)
+    cap_thresh = cap_trunc * vals_np[0]
+    k_capture = lastkeeper_from_values(vals_np, cap_trunc)
+    lastkeeper = lastkeeper_from_values(vals_np, eigtrunc)
+    if vals_np[k - 1] < cap_thresh and k_capture <= k - margin:
+        return "ok", lastkeeper
+    khat = _extrapolate_khat(vals_np, cap_thresh)
+    if khat is None or khat > kcap:
+        if noisy:
+            log(f"  adaptive eig: spectrum too flat (needs "
+                f"~{khat if khat else '>' + str(kcap)} of {n} pairs); "
+                "falling back to exact dense eigh")
+        return "fallback", None
+    knext = min(_round64(max(1.25 * khat + margin, 1.5 * k)), kcap)
+    if knext <= k:
+        if noisy:
+            log("  adaptive eig: cannot grow past the dense-crossover "
+                "width; falling back to exact dense eigh")
+        return "fallback", None
+    if noisy:
+        log(f"  adaptive eig: truncation not captured at k={k}, "
+            f"growing to k={knext}")
+    return "grow", knext
+
+
 @dataclasses.dataclass
 class AdaptiveEig:
     """Result of the adaptive path: a truncated eigensystem plus the
@@ -201,6 +238,118 @@ class AdaptiveEig:
         ``R/bigKRLS.R:280`` computes this over all N eigenvalues)."""
         head = np.asarray(self.eig.values_full, dtype=np.float64)
         return float(n) - _wsum(head, self.tail_theta, self.tail_w, lam)
+
+
+def _hankel(ms, npts: int, offset: int):
+    return jnp.stack([jnp.stack([ms[i + j + offset] for j in range(npts)])
+                      for i in range(npts)])
+
+
+def _quad_device(m, npts: int):
+    """One candidate ``npts``-point quadrature from device moments
+    m[0..5] (m[0] = tail count) — the on-device mirror of
+    :func:`tail_quadrature`.  Returns (theta, w, valid) with theta/w
+    zero-padded to 3 atoms; ``valid`` is False exactly where the host
+    version returns ``None`` (non-PD scaled Hankel / negative atom)."""
+    dt = m.dtype
+    if npts == 1:
+        theta = jnp.stack([m[1] / m[0],
+                           jnp.zeros((), dt), jnp.zeros((), dt)])
+        w = jnp.stack([m[0], jnp.zeros((), dt), jnp.zeros((), dt)])
+        return theta, w, jnp.asarray(True)
+    s = m[1] / m[0]
+    ms = m[: 2 * npts] / (m[0] * s ** jnp.arange(2 * npts, dtype=dt))
+    H = _hankel(ms, npts, 0)
+    H1 = _hankel(ms, npts, 1)
+    C = jnp.linalg.cholesky(H)
+    chol_ok = jnp.all(jnp.isfinite(C))
+    # guard the downstream solves against NaN/Inf from a failed factor
+    Cs = jnp.where(chol_ok, C, jnp.eye(npts, dtype=dt))
+    Ci = jax.scipy.linalg.solve_triangular(Cs, jnp.eye(npts, dtype=dt),
+                                           lower=True)
+    J = Ci @ H1 @ Ci.T
+    theta_s, V = jnp.linalg.eigh(0.5 * (J + J.T))
+    valid = chol_ok & (theta_s[0] >= -1e-10) & jnp.all(jnp.isfinite(theta_s))
+    theta = jnp.maximum(theta_s, 0.0) * s
+    w = m[0] * V[0, :] ** 2
+    pad = 3 - npts
+    theta = jnp.concatenate([theta, jnp.zeros((pad,), dt)])
+    w = jnp.concatenate([w, jnp.zeros((pad,), dt)])
+    return theta, w, valid
+
+
+def _tail_atoms_device(moments, m0):
+    """Best valid quadrature (3 → 2 → 1 points, like :func:`_tail_atoms`)
+    computed on device: all three candidates are tiny fixed-shape
+    problems; the first valid one is selected with ``where``."""
+    dt = moments.dtype
+    m = jnp.concatenate([m0[None], jnp.maximum(moments, 0.0)])
+    t3, w3, v3 = _quad_device(m, 3)
+    t2, w2, v2 = _quad_device(m, 2)
+    t1, w1, v1 = _quad_device(m, 1)
+    zero = jnp.zeros((3,), dt)
+    theta = jnp.where(v3, t3, jnp.where(v2, t2, jnp.where(v1, t1, zero)))
+    w = jnp.where(v3, w3, jnp.where(v2, w2, jnp.where(v1, w1, zero)))
+    base = (m[0] > 0) & (m[1] > 0)
+    return jnp.where(base, theta, zero), jnp.where(base, w, zero)
+
+
+def _wsum_device(values, theta, w, c):
+    """Σ λ/(λ+c) over the completed spectrum, on device (zero-weight pad
+    atoms contribute exactly 0)."""
+    return (jnp.sum(values / (values + c))
+            + jnp.sum(w * theta / (theta + c)))
+
+
+def _upper_bound_completed_device(values, theta, w, n: int):
+    """Device mirror of :func:`_upper_bound_completed` (integer bisection
+    over k = n−U; same structure as ``ops.fused._upper_bound_device``
+    but the filter sums include the tail atoms)."""
+    dt = values.dtype
+
+    def cond_k(k):
+        return _wsum_device(values, theta, w,
+                            jnp.asarray(n, dt) - k) >= 1.0
+
+    nbits = max(1, (n + 1).bit_length())
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        hit = cond_k(mid.astype(dt))
+        return jnp.where(hit, lo, mid + 1), jnp.where(hit, mid, hi)
+
+    lo, _ = jax.lax.fori_loop(
+        0, nbits, body, (jnp.asarray(0, jnp.int32),
+                         jnp.asarray(n, jnp.int32)))
+    return jnp.asarray(n, dt) - lo.astype(dt)
+
+
+def _lower_bound_completed_device(values, theta, w):
+    """Device mirror of :func:`_lower_bound_completed`.  The q index is
+    taken over the computed head only — legitimate for the same reason
+    as the host version (the capture check guarantees the head crosses
+    λ₁/1000)."""
+    dt = values.dtype
+    eps = jnp.asarray(_EPS, dt)
+    q = jnp.argmin(jnp.abs(values - values[0] / 1000.0)) + 1
+    qf = q.astype(dt)
+
+    def cond_k(k):
+        return _wsum_device(values, theta, w, eps + 0.05 * k) <= qf
+
+    k_hi = jnp.ceil((_wsum_device(values, theta, w, jnp.asarray(0.0, dt))
+                     * values[0] / qf) / 0.05).astype(jnp.int32) + 1
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        hit = cond_k(mid.astype(dt))
+        return jnp.where(hit, lo, mid + 1), jnp.where(hit, mid, hi)
+
+    lo, _ = jax.lax.fori_loop(0, 48, body,
+                              (jnp.asarray(0, jnp.int32), k_hi))
+    return eps + 0.05 * lo.astype(dt)
 
 
 @jax.jit
@@ -254,29 +403,196 @@ def _golden_solve(vectors, values, y_std, L, U, tol):
     return lam, Le, coeffs, it
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _adaptive_fused(K, y_std, key, k: int, iters: int, eigtrunc, tol):
+    """The ENTIRE adaptive post-kernel region as ONE device program
+    (VERDICT r03 next-round #6): block-Krylov top-k + deflated tail
+    moments + on-device 3-point moment quadrature + completed-spectrum
+    λ bounds + golden-section search + spectral solve.  The previous
+    design was two dispatches with a host round trip for the quadrature
+    between them — ~25-50 ms of pure tunnel latency on a region whose
+    whole compute is ~0.1 s.
+
+    Truncation without dynamic shapes: like ``ops/fused.py``, the
+    spectral filter is multiplied by a mask zeroing columns ≥ lastkeeper
+    (algebraically identical to the hard slice).
+
+    The caller still fetches ``(values, moments, lastkeeper, L, U)`` at
+    the end (one round trip) to a-posteriori verify the truncation
+    capture AND to check the device bounds against the exact f64 host
+    oracle — if either check fails, the host grows k / re-solves with
+    exact bounds, so working-precision bound arithmetic can never
+    silently shift λ* (the parity-critical quantity)."""
+    n = K.shape[0]
+    dt = y_std.dtype
+    vals, vecs = _subspace_iteration(K, key, k, iters)
+    R = K - (vecs * vals[None, :]) @ vecs.T
+    R = 0.5 * (R + R.T)
+    R2 = R @ R
+    R3 = R2 @ R
+    moments = jnp.stack([jnp.trace(R), jnp.sum(R * R), jnp.trace(R3),
+                         jnp.sum(R2 * R2), jnp.sum(R2 * R3)])
+    vecs = -vecs
+
+    # lastkeeper as a mask (no dynamic shapes inside one program)
+    keep = vals >= eigtrunc * vals[0]
+    idx = jnp.arange(k)
+    lastkeeper = jnp.maximum(jnp.max(jnp.where(keep, idx, -1)) + 1, 1)
+    mask = (idx < lastkeeper).astype(dt)
+
+    theta, w = _tail_atoms_device(moments, jnp.asarray(n - k, dt))
+    L = _lower_bound_completed_device(vals, theta, w)
+    U = _upper_bound_completed_device(vals, theta, w, n)
+
+    # golden search + solve on the masked basis (same control flow as
+    # _golden_solve; equality pinned by tests)
+    gold = jnp.asarray(0.381966, dt)
+    Qty = vecs.T @ y_std
+    Q2 = vecs * vecs
+
+    def loo_c(lam):
+        filt = mask / (vals + lam)
+        coeffs = vecs @ (Qty * filt)
+        ginv_diag = Q2 @ filt
+        return jnp.sum((coeffs / ginv_diag) ** 2), coeffs
+
+    def loo(lam):
+        return loo_c(lam)[0]
+
+    X1 = L + gold * (U - L)
+    X2 = U - gold * (U - L)
+    state = (L, U, X1, X2, loo(X1), loo(X2), jnp.asarray(0, jnp.int32))
+
+    def cond(state):
+        _, _, _, _, S1, S2, it = state
+        return jnp.logical_and(jnp.abs(S1 - S2) > tol, it < 10_000)
+
+    def body(state):
+        L_, U_, X1, X2, S1, S2, it = state
+
+        def left(_):
+            U2 = X2
+            X1n = L_ + gold * (U2 - L_)
+            return (L_, U2, X1n, X1, loo(X1n), S1, it + 1)
+
+        def right(_):
+            L2 = X1
+            X2n = U_ - gold * (U_ - L2)
+            return (L2, U_, X2, X2n, S2, loo(X2n), it + 1)
+
+        return jax.lax.cond(S1 < S2, left, right, None)
+
+    Lf, Uf, X1, X2, S1, S2, it = jax.lax.while_loop(cond, body, state)
+    lam = jnp.where(S1 < S2, X1, X2)
+    Le, coeffs = loo_c(lam)
+    return (vals, vecs, moments, lastkeeper, theta, w, L, U,
+            lam, Le, coeffs, it)
+
+
 def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
                         iters: Optional[int] = None, noisy: bool = False,
                         mesh=None, log: Callable[[str], None] = print):
-    """The adaptive post-kernel fit in two dispatches: Krylov+moments,
-    then golden-search+solve.  Returns ``(AdaptiveEig, lam, Le, coeffs)``
-    or ``None`` when the dense path is the right call.  Shared by
-    ``model.fit`` and ``bench.py`` so both measure the same code.
+    """The adaptive post-kernel fit in ONE device dispatch
+    (:func:`_adaptive_fused`) plus one result fetch.  Returns
+    ``(AdaptiveEig, lam, Le, coeffs)`` or ``None`` when the dense path
+    is the right call.  Shared by ``model.fit`` and ``bench.py`` so both
+    measure the same code.
+
+    Verification protocol (nothing is trusted at working precision):
+
+    * truncation capture is checked a posteriori on the fetched values
+      (grow k and redispatch, or fall back to dense — exactly as
+      :func:`adaptive_eigensystem`);
+    * the device-computed λ bounds are compared against the exact f64
+      host recomputation from the same values/moments; a mismatch
+      (different bisection step selected) triggers one extra
+      golden+solve dispatch with the exact bounds.  Matching bounds ⇒
+      the fused λ/coefficients are exactly what the two-dispatch path
+      would have produced.
 
     ``mesh``: the adaptive route is mesh-capable (VERDICT r03 #1) — K
     arrives block-sharded, every Krylov/moment GEMM runs partitioned
     (XLA propagates the operand shardings), and the returned eigenbasis
     is committed row-sharded so all downstream O(N·k) work stays
     distributed.  Only the tiny Ritz/quadrature objects are replicated."""
-    out = adaptive_eigensystem(K, eigtrunc=eigtrunc, iters=iters,
-                               noisy=noisy, mesh=mesh, log=log)
-    if out is None:
-        return None
+    n = int(K.shape[0])
     dt = y_std.dtype
-    lam, Le, coeffs, _ = _golden_solve(
-        out.eig.vectors, out.eig.values, y_std,
-        jnp.asarray(out.L, dt), jnp.asarray(out.U, dt),
-        jnp.asarray(tol, dt))
-    return out, float(lam), Le, coeffs
+    if iters is None:
+        iters = 5 if K.dtype == jnp.float64 else 4
+    kcap = (int(n * 0.25) // 64) * 64
+    if kcap < 64:
+        if noisy:
+            log("  adaptive eig: N too small to truncate profitably; "
+                "using exact dense eigh")
+        return None
+    k = min(_round64(max(64, n / 16.0)), kcap)
+    key = jax.random.PRNGKey(0)
+
+    for attempt in range(3):
+        (vals, vecs, moments, lk_d, theta_d, w_d, L_d, U_d, lam_d, Le_d,
+         coeffs_d, _it) = _adaptive_fused(
+            K, y_std, key, k, iters, jnp.asarray(eigtrunc, dt),
+            jnp.asarray(tol, dt))
+        vals_np, m_np, lk_dev, L_dev, U_dev = jax.device_get(
+            (vals, moments, lk_d, L_d, U_d))     # ONE round trip
+        vals_np = np.asarray(vals_np, dtype=np.float64)
+        if np.any(np.isnan(vals_np)):
+            # reference guard (R/bigKRLS_Rcpp_functions.R:8-9)
+            raise ValueError(
+                "Missing eigenvalues prevent obtaining the regularization "
+                "parameter lambda. Check for repeated observations (or "
+                "other perfect linear combinations in X).")
+        plan, aux = _capture_plan(vals_np, eigtrunc, k, kcap, n=n,
+                                  noisy=noisy, log=log)
+        if plan == "ok":
+            lastkeeper = aux
+            break
+        if plan == "fallback":
+            return None
+        k = aux
+    else:
+        if noisy:
+            log("  adaptive eig: truncation not captured after 3 attempts; "
+                "falling back to exact dense eigh")
+        return None
+
+    # exact f64 bounds from the fetched values/moments (the oracle)
+    m_np = np.asarray(m_np, dtype=np.float64)
+    tail_m = np.concatenate([[float(n - k)], np.maximum(m_np, 0.0)])
+    theta, w = _tail_atoms(tail_m)
+    L = _lower_bound_completed(vals_np, theta, w)
+    U = _upper_bound_completed(vals_np, theta, w, n)
+    if noisy:
+        log(f"  adaptive eig: computed {k} of {n} eigenpairs "
+            f"(lastkeeper={lastkeeper}); tail completed by "
+            f"{theta.size}-point moment quadrature for the lambda bounds "
+            f"(one fused dispatch)")
+
+    vectors = vecs[:, :lastkeeper]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.sharded import commit
+        vectors = commit(vectors, NamedSharding(
+            mesh, PartitionSpec(mesh.axis_names[0], None)))
+    eig = Eigensystem(values_full=vals, vectors=vectors,
+                      lastkeeper=lastkeeper)
+    out = AdaptiveEig(eig=eig, L=float(L), U=float(U), k=k,
+                      tail_theta=theta, tail_w=w)
+
+    # accept the fused solve only if the device bounds picked the SAME
+    # bisection steps as the f64 oracle (grid steps are 0.05 / 1.0, so a
+    # different step is far outside float rounding) and the device
+    # lastkeeper agrees with the host's
+    same_bounds = (abs(float(L_dev) - L) <= 1e-5 * max(1.0, abs(L))
+                   and abs(float(U_dev) - U) <= 1e-5 * max(1.0, abs(U))
+                   and int(lk_dev) == lastkeeper)
+    if same_bounds:
+        return out, float(lam_d), Le_d, coeffs_d
+    if noisy:
+        log("  adaptive eig: working-precision bounds differ from the "
+            "f64 oracle; re-running golden+solve with exact bounds")
+    lam, Le, coeffs = resume_adaptive(out, y_std, tol)
+    return out, lam, Le, coeffs
 
 
 def resume_adaptive(out: "AdaptiveEig", y_std, tol: float):
@@ -355,32 +671,14 @@ def adaptive_eigensystem(
                 "Missing eigenvalues prevent obtaining the regularization "
                 "parameter lambda. Check for repeated observations (or "
                 "other perfect linear combinations in X).")
-        # capture must reach past BOTH eigtrunc·λ₁ (the truncation rule)
-        # and λ₁/1000 (the λ-search q-index input) — with a coarse
-        # eigtrunc the second is the binding one (ADVICE r03, medium)
-        cap_trunc = min(eigtrunc, 1e-3)
-        cap_thresh = cap_trunc * vals_np[0]
-        k_capture = lastkeeper_from_values(vals_np, cap_trunc)
-        lastkeeper = lastkeeper_from_values(vals_np, eigtrunc)
-        if vals_np[k - 1] < cap_thresh and k_capture <= k - margin:
+        plan, aux = _capture_plan(vals_np, eigtrunc, k, kcap, n=n,
+                                  margin=margin, noisy=noisy, log=log)
+        if plan == "ok":
+            lastkeeper = aux
             break
-        khat = _extrapolate_khat(vals_np, cap_thresh)
-        if khat is None or khat > kcap:
-            if noisy:
-                log(f"  adaptive eig: spectrum too flat (needs "
-                    f"~{khat if khat else '>' + str(kcap)} of {n} pairs); "
-                    "falling back to exact dense eigh")
+        if plan == "fallback":
             return None
-        knext = min(_round64(max(1.25 * khat + margin, 1.5 * k)), kcap)
-        if knext <= k:
-            if noisy:
-                log("  adaptive eig: cannot grow past the dense-crossover "
-                    "width; falling back to exact dense eigh")
-            return None
-        if noisy:
-            log(f"  adaptive eig: truncation not captured at k={k}, "
-                f"growing to k={knext}")
-        k = knext
+        k = aux
     else:
         if noisy:
             log("  adaptive eig: truncation not captured after 3 attempts; "

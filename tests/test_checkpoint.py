@@ -34,11 +34,11 @@ def test_checkpoint_resume_identical(tmp_path):
 
 def test_checkpoint_adaptive_resume_bit_exact(tmp_path):
     """VERDICT r03 next-round #5: checkpoint_dir must not route around
-    the adaptive path.  The saving fit takes adaptive-krylov; the resumed
-    fit loads the head pairs + completed-spectrum bounds + tail
-    quadrature and re-runs ONLY the fused golden+solve dispatch — the
-    very same device program with the same inputs, so λ*/coefficients
-    are bit-exact, and Neffective still uses the tail quadrature."""
+    the adaptive path.  The saving fit takes adaptive-krylov and stores
+    the head pairs + completed-spectrum bounds + tail quadrature PLUS
+    the solution keyed by a (y, tol) fingerprint; an identical refit
+    resumes bit-exact with zero eig/solve device work, and Neffective
+    still uses the tail quadrature."""
     rng = np.random.default_rng(3)
     n, p = 2048, 3
     X = rng.normal(size=(n, p))
@@ -58,6 +58,18 @@ def test_checkpoint_adaptive_resume_bit_exact(tmp_path):
     # the resumed model still knows its spectrum is a truncated head
     assert not m2.spectrum_is_complete
     assert m2.eig_tail_theta is not None and m2.eig_tail_theta.size > 0
+
+    # a DIFFERENT y reuses the eig prefix (the expensive part) and
+    # re-runs only golden+solve: still "checkpoint", fresh-fit parity
+    y2 = np.asarray(np.cos(X[:, 0]) + 0.5 * X[:, 2]
+                    + 0.2 * rng.normal(size=n))
+    m4 = bk.fit(y2, X, noisy=False, eigtrunc=0.001, derivative=False,
+                checkpoint_dir=d)
+    assert m4.eig_path == "checkpoint"
+    m4f = bk.fit(y2, X, noisy=False, eigtrunc=0.001, derivative=False)
+    assert m4.lambda_ == pytest.approx(m4f.lambda_, rel=1e-9)
+    assert np.max(np.abs(m4.coeffs - m4f.coeffs)) < 1e-9
+
     # a config change invalidates the adaptive checkpoint too
     m3 = bk.fit(y, X, noisy=False, eigtrunc=0.002, derivative=False,
                 checkpoint_dir=d)
