@@ -235,6 +235,7 @@ def _fit_impl(
     if mesh is not None:
         if streaming:
             from .parallel.ring_kernel import make_ring_matmul, ring_mesh_of
+            from .parallel.sharded import place
             from jax.sharding import NamedSharding, PartitionSpec
             ring = ring_mesh_of(mesh)
             if n % ring.devices.size == 0:
@@ -244,9 +245,10 @@ def _fit_impl(
                 # pads + row-shards every product internally, so only the
                 # O(N·P) X copy (not the O(N²) work) is replicated at rest
                 x_spec = PartitionSpec()
-            X_std = jax.device_put(X_std, NamedSharding(ring, x_spec))
-            y_std = jax.device_put(y_std,
-                                   NamedSharding(ring, PartitionSpec()))
+            # place() (not plain device_put): multi-host fits span
+            # non-addressable devices (VERDICT r03 #4)
+            X_std = place(X_std, NamedSharding(ring, x_spec))
+            y_std = place(y_std, NamedSharding(ring, PartitionSpec()))
         else:
             from .parallel.sharded import shard_fit_arrays
             X_std, y_std = shard_fit_arrays(mesh, X_std, y_std)

@@ -393,8 +393,9 @@ def eigensystem_streaming(
         B = jnp.zeros((n, width), V.dtype).at[:, :q].set(V)
         KB = jnp.zeros((n, width), V.dtype)
         if row_sharding is not None:
-            B = jax.device_put(B, row_sharding)
-            KB = jax.device_put(KB, row_sharding)
+            from ..parallel.sharded import commit
+            B = commit(B, row_sharding)       # multi-host safe reshard
+            KB = commit(KB, row_sharding)
         g = jnp.asarray(0, jnp.int32)
         done = 0
         while done < iters:
@@ -438,7 +439,8 @@ def eigensystem_streaming(
     vecs = -vecs
     if mesh is not None and n % int(mesh.devices.size) == 0:
         from jax.sharding import NamedSharding, PartitionSpec
-        vecs = jax.device_put(
+        from ..parallel.sharded import commit
+        vecs = commit(
             vecs, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0],
                                                     None)))
     vals_np = np.asarray(jax.device_get(vals))
