@@ -212,8 +212,8 @@ def main():
         t = time.time()
         eig, lam, coeffs, spectrum, k_used = postkernel_fit_adaptive(K)
         best = min(best, time.time() - t)
-    q = k_used + min(k_used, 32) + 8
-    d_iters = 4   # precision-matched depth at f32 (ops/adaptive.py)
+    q = k_used + 8
+    d_iters = 3   # precision-matched depth at f32 (ops/adaptive.py)
     f_adaptive = (2.0 * N * N * q * (d_iters + 1)     # Krylov K@V products
                   + 4.0 * N ** 3                       # moment GEMMs R2,R3
                   + 2.0 * N * ((d_iters + 1) * q) ** 2)  # DGKS/QR/Ritz basis

@@ -104,7 +104,7 @@ def _fit_impl(
     streaming: Optional[bool] = None,
     streaming_threshold: int = 32768,
     eig_iters: Optional[int] = None,
-    fast_eig_power: bool = False,
+    fast_eig_power: Optional[bool] = None,
     ncores: Optional[int] = None,
     instructions: bool = False,
     log: Callable[[str], None] = print,
@@ -259,6 +259,21 @@ def _fit_impl(
         km = make_ring_matmul(ring)
     else:
         km = kernel_matmul_pallas if use_pallas_mm else kernel_matmul
+
+    if fast_eig_power is None:
+        # auto-enable reduced-precision accumulation for the streaming
+        # POWER products in the regime where it is validated (TPU Pallas
+        # backend, N at streaming scale): the final Rayleigh–Ritz always
+        # recomputes K·B at full precision, and the measured effect on
+        # the fit is λ* identical / AME shifts ~1e-6 for ~15-20% less
+        # eig wall-clock (docs/performance.md fast-accum table;
+        # tolerance pinned by tests/test_streaming.py).  Pass
+        # fast_eig_power=False to force full-precision power products.
+        fast_eig_power = bool(streaming and use_pallas_mm and n >= 32768)
+        if fast_eig_power and noisy:
+            log("Streaming eig: fast (reduced-precision) power products "
+                "enabled — Rayleigh-Ritz stays full precision; pass "
+                "fast_eig_power=False to disable.")
 
     # ---- step 1: kernel ----
     if streaming:

@@ -69,9 +69,17 @@ def _ritz_topk(B, KB, k: int):
     return evals[::-1][:k], (B @ S[:, ::-1])[:, :k]
 
 
-def _krylov_geometry(n: int, k: int, iters: int):
+def _krylov_geometry(n: int, k: int, iters: int,
+                     extra: Optional[int] = None):
     """(q, progressive): block width, and whether the fast *progressive*
     basis flow applies.
+
+    ``extra`` is the oversampling beyond k (default ``min(k,32)+8``).
+    The Ritz eigenproblem is (iters+1)·q wide and its eigh is the
+    dominant non-GEMM cost of the whole block-Krylov solve on TPU
+    (measured: 67→45 ms at N=3106, k=256 going from the default to
+    extra=8 at depth 3, with eigenvalue error unchanged at the f32
+    noise floor) — the adaptive path passes a trimmed value at f32.
 
     Progressive (large n: total width (iters+1)·q ≤ n) keeps the basis
     orthonormal as it grows (per-block QR + block DGKS) and reuses the
@@ -81,12 +89,15 @@ def _krylov_geometry(n: int, k: int, iters: int):
     instead: the reduced QR caps the basis at the FULL space, making
     Rayleigh–Ritz exact there — progressive blocks beyond n would be
     pure numerical noise and must not be generated."""
-    q = min(n, k + min(k, 32) + 8)
+    if extra is None:
+        extra = min(k, 32) + 8
+    q = min(n, k + extra)
     return q, (iters + 1) * q <= n
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
-def _subspace_iteration(K, key, k: int, iters: int):
+@functools.partial(jax.jit, static_argnames=("k", "iters", "extra"))
+def _subspace_iteration(K, key, k: int, iters: int,
+                        extra: Optional[int] = None):
     """Randomized **block-Krylov** iteration for the top-k eigenpairs of
     symmetric K (Musco & Musco 2015 style).
 
@@ -111,7 +122,7 @@ def _subspace_iteration(K, key, k: int, iters: int):
     space and makes Rayleigh–Ritz exact there (``_krylov_geometry``).
     """
     n = K.shape[0]
-    q, progressive = _krylov_geometry(n, k, iters)
+    q, progressive = _krylov_geometry(n, k, iters, extra)
     V = jax.random.normal(key, (n, q), dtype=K.dtype)
     V, _ = jnp.linalg.qr(V)
 
@@ -306,6 +317,7 @@ def eigensystem_streaming(
     seed: int = 0,
     matmul=None,
     fast_power: bool = False,
+    power_matmul=None,
     mesh=None,
     progress=None,
     chunk: int = 4,
@@ -358,9 +370,16 @@ def eigensystem_streaming(
                          kernel_matmul_pallas_fast)
     if matmul is None:
         matmul = kernel_matmul
-    power_matmul = matmul
-    if fast_power and matmul is kernel_matmul_pallas:
-        power_matmul = kernel_matmul_pallas_fast
+    if power_matmul is None:
+        # reduced-precision backend for the POWER products only; the
+        # final Rayleigh–Ritz always recomputes K·B with the
+        # full-precision ``matmul`` (see _krylov_ritz_streaming), which
+        # is the safeguard that keeps fast accumulation from touching
+        # the reported eigenvalues beyond the pinned tolerance
+        # (tests/test_streaming.py::test_fast_power_self_correcting)
+        power_matmul = matmul
+        if fast_power and matmul is kernel_matmul_pallas:
+            power_matmul = kernel_matmul_pallas_fast
     n = X_std.shape[0]
     neig = min(int(neig), n)
     key = jax.random.PRNGKey(seed)

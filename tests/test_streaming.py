@@ -53,6 +53,54 @@ def test_streaming_eigensystem_matches_materialized(rng):
     assert np.max(np.abs(vf - vs) / np.abs(vf)) < 1e-6
 
 
+def test_fast_power_self_correcting(rng):
+    """The fast_eig_power contract (VERDICT r03 weak #6): POWER products
+    may run at reduced precision because subspace iteration is
+    self-correcting (each QR re-orthonormalizes) and the final
+    Rayleigh–Ritz recomputes K·B with the FULL-precision matmul.  This
+    pins the tolerance on CPU by simulating bf16-pass accumulation
+    noise (~1e-3 relative — harsher than the MXU's bf16-multiply /
+    f32-accumulate mode) in the power products only: the reported
+    eigenvalues must stay at f32-level accuracy and λ* must match the
+    exact-power fit well inside the golden-search tolerance."""
+    from bigkrls_tpu.lambda_search import lambda_search
+
+    n, p, k = 512, 4, 48
+    X = rng.normal(size=(n, p))
+    X = (X - X.mean(0)) / X.std(0, ddof=1)
+    y = np.sin(X[:, 0]) + X @ np.ones(p) + 0.3 * rng.normal(size=n)
+    y = (y - y.mean()) / y.std(ddof=1)
+    Xd, yd = jnp.asarray(X), jnp.asarray(y)
+    sigma = float(p)
+
+    def noisy_matmul(X_, V, s):
+        # bf16 has ~8 mantissa bits -> ~4e-3 ulp; rounding the exact
+        # product through bf16 injects that noise into every power step
+        Y = kernel_matmul(X_, V, s)
+        return jnp.asarray(Y, jnp.bfloat16).astype(Y.dtype)
+
+    eig_exact = eigensystem_streaming(Xd, sigma, neig=k)
+    eig_fast = eigensystem_streaming(Xd, sigma, neig=k,
+                                     power_matmul=noisy_matmul)
+    v0 = float(eig_exact.values_full[0])
+    # eigenvalues from the full-precision Ritz: f32-level agreement even
+    # though every power product carried bf16 noise
+    rel = np.max(np.abs(np.asarray(eig_fast.values_full)
+                        - np.asarray(eig_exact.values_full))) / v0
+    assert rel < 5e-6, rel
+    lam_exact = float(lambda_search(eig_exact, yd))
+    lam_fast = float(lambda_search(eig_fast, yd))
+    assert lam_fast == pytest.approx(lam_exact, rel=1e-5)
+    # ... and WITHOUT the full-precision Ritz the same noise would be
+    # fatal: the reported values would inherit ~1e-3-level error.  This
+    # is what makes the recompute a load-bearing part of the contract.
+    eig_bad = eigensystem_streaming(Xd, sigma, neig=k,
+                                    matmul=noisy_matmul)
+    rel_bad = np.max(np.abs(np.asarray(eig_bad.values_full)
+                            - np.asarray(eig_exact.values_full))) / v0
+    assert rel_bad > 10 * rel
+
+
 def test_streaming_fit_matches_dense_fit(rng):
     y, X = _xy(rng)
     n = len(y)
@@ -146,6 +194,38 @@ def _synthetic_model(n, p, k, dtype=jnp.float32, seed=9):
             scale=2.0),
         sigmasq_std=0.01, y_mean=float(y.mean()), y_sd=float(y.std(ddof=1)),
         x_means=X.mean(0), x_sds=X.std(0, ddof=1))
+
+
+def test_acf_streaming_scale_blocked(rng, monkeypatch):
+    """VERDICT r03 #8: ``summary(degrees="acf")`` on a streaming-scale
+    fit must route the autocorrelation Neffective through the BLOCKED
+    Gram accumulation — the dense N×N Gram at N=32768 f64 would be an
+    8.6 GB accidental allocation.  The dense variant is poisoned to
+    prove the routing (completing on a 125 GB host proves nothing)."""
+    import bigkrls_tpu.ops.stats as stats
+
+    n, p = 32768, 3
+    X = rng.normal(size=(n, p))
+    y = np.asarray(np.sin(X[:, 0]) + 0.2 * (X @ np.ones(p))
+                   + 0.3 * rng.normal(size=n))
+    m = bk.fit(y, X, streaming=True, neig=16, noisy=False,
+               which_derivatives=[0])
+    assert m.eig_path == "streaming-krylov"
+    assert m.neffective_acf is None          # fit did not run acf eagerly
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "dense N x N acf Gram materialized at streaming scale")
+
+    monkeypatch.setattr(stats, "_neffective_acf_dense", _boom)
+    s = bk.summary(m, degrees="acf")
+    assert np.isfinite(s.n_dof)
+    assert 1.0 <= s.n_dof <= n + 1
+    # blocked == dense equality is pinned by test_blocked_acf_matches_
+    # dense; here pin plausibility only.  With P=3 the de-meaned rows
+    # live in 2 dims, where E|corr| of random directions is 2/π ≈ 0.64,
+    # so Neff ≈ (1 − 0.64)·N — well away from both 1 and N.
+    assert 0.2 * n < s.n_dof < 0.6 * n
 
 
 def test_blocked_predict_matches_dense():
