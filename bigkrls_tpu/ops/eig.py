@@ -276,6 +276,24 @@ def _krylov_ritz_streaming(X, B, KB, V_last, sigma, k: int, matmul,
     return _ritz_topk(B, KB, k)
 
 
+def _resolve_fast_power(fast_power, krylov: bool, progressive: bool) -> bool:
+    """Resolve ``fast_power="auto"`` by the solver flow's FLOP structure
+    (measured, N=50k, TPU v5e; docs/performance.md fast-accum table):
+
+    * progressive block-Krylov REUSES its full-precision power products
+      as K·B for Rayleigh–Ritz.  Running the power products fast forces
+      a full-width K·B recompute at full precision for Ritz, which
+      costs MORE than the power savings (net +d·(fast product) — fit
+      measured 2.89 s → 3.03 s).  Auto keeps full precision here.
+    * the constant-memory power flow (and the small-n stacked flow)
+      recomputes K·B for Ritz regardless, so fast power products are a
+      pure win (~2.1× per product: 188 → 90 ms at the 50k shape).
+    """
+    if fast_power != "auto":
+        return bool(fast_power)
+    return not (krylov and progressive)
+
+
 def _auto_krylov(n: int, q: int, iters: int, itemsize: int,
                  budget: Optional[int] = None, fraction: float = 0.6) -> bool:
     """Pick block-Krylov vs constant-memory power iteration by HBM fit.
@@ -316,7 +334,7 @@ def eigensystem_streaming(
     iters: int = 8,
     seed: int = 0,
     matmul=None,
-    fast_power: bool = False,
+    fast_power="auto",
     power_matmul=None,
     mesh=None,
     progress=None,
@@ -335,12 +353,16 @@ def eigensystem_streaming(
     vectors, lastkeeper truncation of the vectors only).  ``neig`` must be
     < N (streaming a full decomposition makes no sense).
 
-    ``fast_power=True`` runs the power iterations with reduced-precision
-    MXU accumulation (Pallas backend only) — ~3-6× faster products with
-    the final Rayleigh–Ritz still at full f32 (subspace iteration is
+    ``fast_power`` runs the power iterations with reduced-precision MXU
+    accumulation (Pallas backend only) — ~2× faster products with the
+    final Rayleigh–Ritz still at full f32 (subspace iteration is
     self-correcting: each QR re-orthonormalizes, so accumulation noise
-    only perturbs not-yet-converged directions); validate against your
-    tolerance before enabling for inference-critical runs.
+    only perturbs not-yet-converged directions; tolerance pinned by
+    ``tests/test_streaming.py::test_fast_power_self_correcting``,
+    measured λ identical / AME delta 2.4e-6 at N=50k).  The default
+    ``"auto"`` enables it exactly where it is a net win — the flows
+    whose Rayleigh–Ritz recomputes K·B anyway (see
+    :func:`_resolve_fast_power`); True/False force it.
 
     ``mesh`` row-shards the returned eigenvectors over the mesh's first
     axis (callers pass a 1-D ring mesh together with its ring ``matmul``).
@@ -370,16 +392,6 @@ def eigensystem_streaming(
                          kernel_matmul_pallas_fast)
     if matmul is None:
         matmul = kernel_matmul
-    if power_matmul is None:
-        # reduced-precision backend for the POWER products only; the
-        # final Rayleigh–Ritz always recomputes K·B with the
-        # full-precision ``matmul`` (see _krylov_ritz_streaming), which
-        # is the safeguard that keeps fast accumulation from touching
-        # the reported eigenvalues beyond the pinned tolerance
-        # (tests/test_streaming.py::test_fast_power_self_correcting)
-        power_matmul = matmul
-        if fast_power and matmul is kernel_matmul_pallas:
-            power_matmul = kernel_matmul_pallas_fast
     n = X_std.shape[0]
     neig = min(int(neig), n)
     key = jax.random.PRNGKey(seed)
@@ -388,6 +400,22 @@ def eigensystem_streaming(
     if krylov is None:
         krylov = _auto_krylov(n, q, iters,
                               jnp.dtype(X_std.dtype).itemsize)
+    if power_matmul is None:
+        # reduced-precision backend for the POWER products only; the
+        # final Rayleigh–Ritz always recomputes K·B with the
+        # full-precision ``matmul`` (see _krylov_ritz_streaming), which
+        # is the safeguard that keeps fast accumulation from touching
+        # the reported eigenvalues beyond the pinned tolerance
+        # (tests/test_streaming.py::test_fast_power_self_correcting)
+        fast_power = _resolve_fast_power(fast_power, krylov, progressive)
+        power_matmul = matmul
+        if fast_power and matmul is kernel_matmul_pallas:
+            power_matmul = kernel_matmul_pallas_fast
+            import logging
+            logging.getLogger("bigkrls_tpu").info(
+                "eigensystem_streaming: reduced-precision power products "
+                "enabled (constant-memory flow; Rayleigh-Ritz stays full "
+                "precision)")
 
     V = _subspace_init(X_std, key, q)
 

@@ -101,6 +101,20 @@ def test_fast_power_self_correcting(rng):
     assert rel_bad > 10 * rel
 
 
+def test_resolve_fast_power_policy():
+    """fast_power="auto" enables reduced precision exactly in the flows
+    whose Rayleigh–Ritz recomputes K·B anyway (measured policy,
+    docs/performance.md): constant-memory power and small-n stacked
+    flows yes, KB-reusing progressive block-Krylov no."""
+    from bigkrls_tpu.ops.eig import _resolve_fast_power
+    assert _resolve_fast_power("auto", True, True) is False
+    assert _resolve_fast_power("auto", False, True) is True
+    assert _resolve_fast_power("auto", False, False) is True
+    assert _resolve_fast_power("auto", True, False) is True
+    assert _resolve_fast_power(True, True, True) is True
+    assert _resolve_fast_power(False, False, True) is False
+
+
 def test_streaming_fit_matches_dense_fit(rng):
     y, X = _xy(rng)
     n = len(y)
