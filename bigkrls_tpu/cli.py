@@ -41,6 +41,14 @@ def _add_fit_args(p):
                    help="float64 parity mode (slow on TPU)")
     p.add_argument("--noisy", action="store_true")
     p.add_argument("--checkpoint-dir", type=str, default=None)
+    p.add_argument("--streaming", action="store_true",
+                   help="kernel-free fit: never materialize the N x N "
+                        "kernel (requires --neig < N; auto at N>=32768)")
+    p.add_argument("--fast-eig-power", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="reduced-precision streaming power products "
+                        "(default auto: on only where it is a measured "
+                        "net win — docs/performance.md)")
 
 
 def _fit_kwargs(args):
@@ -63,6 +71,11 @@ def _fit_kwargs(args):
                                    args.which_derivatives.split(",")]
     if getattr(args, "checkpoint_dir", None):
         kw["checkpoint_dir"] = args.checkpoint_dir
+    if getattr(args, "streaming", False):
+        kw["streaming"] = True
+    fep = getattr(args, "fast_eig_power", "auto")
+    if fep != "auto":
+        kw["fast_eig_power"] = fep == "on"
     return kw
 
 

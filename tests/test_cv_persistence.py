@@ -95,6 +95,34 @@ def test_save_load_roundtrip(tmp_path):
     assert np.allclose(p1.se_pred, p2.se_pred)
 
 
+def test_save_load_adaptive_tail_roundtrip(tmp_path, rng):
+    """An adaptive-path model's truncated-spectrum markers persist: the
+    head K_eigenvalues, the tail quadrature atoms, and the
+    spectrum_is_complete signal all survive save/load (ADVICE r03 —
+    consumers must be able to detect the truncated list without parsing
+    eig_path)."""
+    n, p = 2048, 3
+    X = rng.normal(size=(n, p))
+    y = np.asarray(np.sin(X[:, 0]) + X[:, 1] + 0.2 * rng.normal(size=n))
+    model = bk.fit(y, X, eigtrunc=0.001, derivative=False, noisy=False)
+    assert model.eig_path.startswith("adaptive-krylov")
+    assert not model.spectrum_is_complete
+    folder = bk.save_model(model, str(tmp_path / "ma"))
+    loaded = bk.load_model(folder)
+    assert not loaded.spectrum_is_complete
+    assert np.array_equal(model.K_eigenvalues, loaded.K_eigenvalues)
+    assert np.array_equal(model.eig_tail_theta, loaded.eig_tail_theta)
+    assert np.array_equal(model.eig_tail_w, loaded.eig_tail_w)
+    assert loaded.eig_path == model.eig_path
+    # the completed-spectrum Neffective is reconstructible from what was
+    # persisted (head + atoms), matching the fit's value
+    head = np.asarray(loaded.K_eigenvalues)
+    tail = np.sum(loaded.eig_tail_w * loaded.eig_tail_theta
+                  / (loaded.eig_tail_theta + loaded.lambda_))
+    neff = n - float(np.sum(head / (head + loaded.lambda_)) + tail)
+    assert neff == pytest.approx(loaded.neffective, abs=1e-8)
+
+
 def test_save_collision_suffix(tmp_path):
     y, X, labs = mtcars_xy()
     model = bk.fit(y, X, noisy=False, derivative=False)
