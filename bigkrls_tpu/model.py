@@ -253,12 +253,17 @@ def _fit_impl(
             from .parallel.sharded import shard_fit_arrays
             X_std, y_std = shard_fit_arrays(mesh, X_std, y_std)
 
-    use_pallas_mm = (jax.default_backend() == "tpu" and mesh is None
-                     and dtype == jnp.float32)
     if ring is not None:
         km = make_ring_matmul(ring)
+    elif (kernel_impl == "pallas" and jax.default_backend() == "tpu"
+          and dtype == jnp.float32):
+        # opt-in only: at matched precision the XLA scan matmul measured
+        # FASTER than the Pallas kernel at every streaming shape tried
+        # (117 vs 188 ms at 50k, 10.9 vs 18.1 s at 500k — padding waste;
+        # see ops/matvec.py), so XLA is the default streaming backend
+        km = kernel_matmul_pallas
     else:
-        km = kernel_matmul_pallas if use_pallas_mm else kernel_matmul
+        km = kernel_matmul
 
     if fast_eig_power is None:
         # "auto": reduced-precision accumulation for the streaming POWER

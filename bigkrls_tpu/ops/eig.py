@@ -388,12 +388,19 @@ def eigensystem_streaming(
     assumption when the backend does not report it) — at N=500k /
     neig=200 the basis alone would be ~25 GB, so the fit degrades to
     constant memory and SAYS so rather than OOMing."""
-    from .matvec import (kernel_matmul, kernel_matmul_pallas,
-                         kernel_matmul_pallas_fast)
+    from .matvec import (kernel_matmul, kernel_matmul_fast,
+                         kernel_matmul_pallas, kernel_matmul_pallas_fast)
     if matmul is None:
         matmul = kernel_matmul
     n = X_std.shape[0]
     neig = min(int(neig), n)
+    if n >= 200_000:
+        # bound single-program wall-clock: at N=500k one K@V product is
+        # ~11-18 s, and a 4-product+QR chunk (~60-100 s in one XLA
+        # program) was observed to get the remote TPU worker killed
+        # ("TPU worker crashed") — besides, per-product granularity is
+        # what progress/interrupt should mean at this scale
+        chunk = min(chunk, 1)
     key = jax.random.PRNGKey(seed)
     q, progressive = _krylov_geometry(n, neig, iters)
 
@@ -409,8 +416,12 @@ def eigensystem_streaming(
         # (tests/test_streaming.py::test_fast_power_self_correcting)
         fast_power = _resolve_fast_power(fast_power, krylov, progressive)
         power_matmul = matmul
-        if fast_power and matmul is kernel_matmul_pallas:
-            power_matmul = kernel_matmul_pallas_fast
+        if fast_power and jax.default_backend() == "tpu":
+            if matmul is kernel_matmul_pallas:
+                power_matmul = kernel_matmul_pallas_fast
+            elif matmul is kernel_matmul:
+                power_matmul = kernel_matmul_fast
+        if power_matmul is not matmul:
             import logging
             logging.getLogger("bigkrls_tpu").info(
                 "eigensystem_streaming: reduced-precision power products "

@@ -40,12 +40,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def kernel_matmul(X, V, sigma, block: int = 1024):
+@functools.partial(jax.jit, static_argnames=("block", "fast_accum"))
+def kernel_matmul(X, V, sigma, block: int = 1024, fast_accum: bool = False):
     """Y = exp(-pairwise_sqdist(X, X)/sigma) @ V, never materializing K.
 
     ``V`` is (N, m); returns (N, m).  Peak temporary is one (N, block)
     kernel tile.
+
+    This XLA formulation is the DEFAULT streaming backend: measured on
+    TPU v5e at matched (HIGHEST) precision it beats the hand-written
+    Pallas kernel at every streaming shape tried — 117 vs 188 ms at
+    (50k, 20)×(50k, 548), 10.9 vs 18.1 s at 500k — because the Pallas
+    grid must pad P→128 and m→tile multiples (~1.58× padded FLOPs at
+    these shapes) while XLA tiles the true shapes and fuses the exp
+    epilogue itself.  Agreement 3.9e-7 rel.  (Hand-scheduling lost to
+    the compiler here; the Pallas path is kept as an option and for its
+    per-part precision structure.)
+
+    The rank-P distance contraction always runs true-f32/HIGHEST
+    (errors there sit inside exp() and distort K itself);
+    ``fast_accum`` lowers only the tile@V contraction to the MXU's
+    default bf16-multiply passes — the same precision split as the
+    Pallas fast kernel, self-correcting inside subspace iteration
+    (tests/test_streaming.py::test_fast_power_self_correcting).
     """
     n, p = X.shape
     m = V.shape[1]
@@ -62,17 +79,25 @@ def kernel_matmul(X, V, sigma, block: int = 1024):
     Xb = Xp.reshape(nblocks, block, p)
     Vb = Vp.reshape(nblocks, block, m)
     rb = r.reshape(nblocks, block)
+    contract_prec = (jax.lax.Precision.DEFAULT if fast_accum
+                     else jax.lax.Precision.HIGHEST)
 
     def step(acc, blk):
         Xj, Vj, rj = blk
-        g = Xp @ Xj.T                          # (npad, block) rank-P GEMM
+        g = jnp.matmul(Xp, Xj.T,               # (npad, block) rank-P GEMM
+                       precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.maximum(r[:, None] + rj[None, :] - 2.0 * g, 0.0)
         tile = jnp.exp(-d2 / sigma)
-        return acc + tile @ Vj, None
+        return acc + jnp.matmul(tile, Vj, precision=contract_prec), None
 
     acc0 = jnp.zeros((npad, m), X.dtype)
     Y, _ = jax.lax.scan(step, acc0, (Xb, Vb, rb))
     return Y[:n]
+
+
+# module-level alias (stable hash for jit static args); the XLA analog
+# of kernel_matmul_pallas_fast — rank-P part HIGHEST, tile@V fast
+kernel_matmul_fast = functools.partial(kernel_matmul, fast_accum=True)
 
 
 def _km_kernel(sigma_ref, xi_ref, xj_ref, vj_ref, out_ref, *,
@@ -122,9 +147,12 @@ def kernel_matmul_pallas(X, V, sigma, tile_i: int = 512, tile_j: int = 1024,
     the N=50k streaming shape class (n=50k, p=20, m=540): (512, 1024,
     256) runs 185 ms/product, 15.1 TFLOP/s f32-HIGHEST — 14% faster
     than the previous (256, 512, 512) defaults; every combination in
-    the 128–1024 range lands within 12–15 TFLOP/s (the product is
-    HBM-bound, so tiling mostly trades VMEM footprint for grid
-    overhead)."""
+    the 128–1024 range lands within 12–15 TFLOP/s.  The MEASURED
+    roofline (bench.py, N=100k): 24.5 TFLOP/s achieved ≈ 50% of the
+    ~49 TFLOP/s f32-HIGHEST MXU peak at only 144 GB/s HBM (18% of
+    819 GB/s) — the product is MXU-bound at its ~170 FLOP/byte
+    arithmetic intensity, so tiling mostly trades VMEM footprint for
+    grid overhead."""
     X = X.astype(jnp.float32)
     V = V.astype(jnp.float32)
     n, p = X.shape
