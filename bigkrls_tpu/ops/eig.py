@@ -58,6 +58,47 @@ def _dgks(B, W):
     return W
 
 
+def _block_orth(W):
+    """Orthonormalize the columns of a tall block W.
+
+    f64 (parity mode): Householder QR — the configuration the CPU
+    oracle tests pin.
+
+    f32 (TPU throughput mode): **CholeskyQR²** — ``G = WᵀW`` (HIGHEST),
+    Cholesky, triangular solve, applied twice.  All MXU GEMMs plus one
+    tiny q×q factorization, measured 7 ms vs Householder's 75 ms for a
+    (50k, 548) block on v5e (the per-block QR was ~25% of the whole
+    streaming eig phase).  Two passes give Householder-level
+    orthonormality whenever cond(W) ≲ 1/√eps_f32 ≈ 3e3 — comfortably
+    true for DGKS-projected power blocks — and the breakdown case
+    (non-PD Gram → NaN factor) falls back to Householder QR inside the
+    program via ``lax.cond``, so quality can never silently degrade.
+
+    Gated on block height ≥ 16384: below that the Householder QR costs
+    almost nothing, and keeping it preserves the measured EXACT f32 λ*
+    agreement between the adaptive and dense paths at bench scale
+    (with CholQR the N=3106 λ* moved 1.5e-4 rel — inside the golden
+    search's own tolerance, but an avoidable parity regression; at
+    N=50k λ*/R² are bit-identical either way and CholQR buys ~0.4 s
+    per fit)."""
+    if W.dtype == jnp.float64 or W.shape[0] < 16384:
+        return jnp.linalg.qr(W)[0]
+
+    def chol_pass(w):
+        G = jnp.matmul(w.T, w, precision=jax.lax.Precision.HIGHEST)
+        L = jnp.linalg.cholesky(G)
+        q = jax.scipy.linalg.solve_triangular(L, w.T, lower=True).T
+        return q, L
+
+    Q1, L1 = chol_pass(W)
+    Q2, L2 = chol_pass(Q1)
+    ok = jnp.all(jnp.isfinite(L1)) & jnp.all(jnp.isfinite(L2))
+    # guard NaN poisoning: the cond branches see a finite operand
+    Q2s = jnp.where(jnp.isfinite(Q2), Q2, 0.0)
+    return jax.lax.cond(ok, lambda _: Q2s,
+                        lambda _: jnp.linalg.qr(W)[0], None)
+
+
 def _ritz_topk(B, KB, k: int):
     """Rayleigh–Ritz on an already-orthonormal basis: T = BᵀKB, top-k.
     No n×width QR — progressive DGKS (see ``_dgks``) keeps B orthonormal
@@ -124,7 +165,7 @@ def _subspace_iteration(K, key, k: int, iters: int,
     n = K.shape[0]
     q, progressive = _krylov_geometry(n, k, iters, extra)
     V = jax.random.normal(key, (n, q), dtype=K.dtype)
-    V, _ = jnp.linalg.qr(V)
+    V = _block_orth(V)
 
     if progressive:
         width = (iters + 1) * q
@@ -134,7 +175,7 @@ def _subspace_iteration(K, key, k: int, iters: int,
             W = K @ V                 # K @ V_g — reused as KB block g
             KBs.append(W)
             W = _dgks(B, W)
-            V, _ = jnp.linalg.qr(W)   # per-block conditioning
+            V = _block_orth(W)        # per-block conditioning
             B = B.at[:, (g + 1) * q:(g + 2) * q].set(V)
         KBs.append(K @ V)             # K @ V_d
         return _ritz_topk(B, jnp.concatenate(KBs, axis=1), k)
@@ -142,7 +183,7 @@ def _subspace_iteration(K, key, k: int, iters: int,
     blocks = [V]
     for _ in range(iters):            # small n: stacked blocks + fat QR
         W = K @ blocks[-1]
-        W, _ = jnp.linalg.qr(W)       # per-block conditioning
+        W = _block_orth(W)            # per-block conditioning
         blocks.append(W)
     B = jnp.concatenate(blocks, axis=1)
     Q, _ = jnp.linalg.qr(B)           # reduced QR: n × min(n, (iters+1)q)
@@ -192,7 +233,7 @@ def _lanczos(K, key, k: int):
 @functools.partial(jax.jit, static_argnames=("q",))
 def _subspace_init(X, key, q: int):
     V = jax.random.normal(key, (X.shape[0], q), dtype=X.dtype)
-    return jnp.linalg.qr(V)[0]
+    return _block_orth(V)
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "matmul"))
@@ -201,7 +242,7 @@ def _power_chunk(X, V, sigma, steps: int, matmul):
     ``krylov=False`` fallback of :func:`eigensystem_streaming`."""
     for _ in range(steps):               # static: unrolled under jit
         W = matmul(X, V, sigma)
-        V, _ = jnp.linalg.qr(W)          # per-block conditioning
+        V = _block_orth(W)               # per-block conditioning
     return V
 
 
@@ -213,7 +254,7 @@ def _power_chunk_blocks(X, V, sigma, steps: int, matmul):
     blocks = []
     for _ in range(steps):               # static: unrolled under jit
         W = matmul(X, V, sigma)
-        V, _ = jnp.linalg.qr(W)          # per-block conditioning
+        V = _block_orth(W)               # per-block conditioning
         blocks.append(V)
     return V, jnp.concatenate(blocks, axis=1)
 
@@ -250,7 +291,7 @@ def _krylov_chunk(X, V, B, KB, g, sigma, steps: int, matmul,
             KB = jax.lax.dynamic_update_slice(
                 KB, W, (jnp.asarray(0, g.dtype), g * q))
         W = _dgks(B, W)
-        V, _ = jnp.linalg.qr(W)          # per-block conditioning
+        V = _block_orth(W)               # per-block conditioning
         g = g + 1
         B = jax.lax.dynamic_update_slice(
             B, V, (jnp.asarray(0, g.dtype), g * q))
