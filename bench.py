@@ -401,8 +401,9 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
         y2 = np.sin(X2[:, 0]) + X2 @ (0.2 * np.ones(p2)) + \
             rng.normal(size=n2)
         kw = dict(neig=500, streaming=True, noisy=False,
-                  which_derivatives=[0, 1, 2, 3, 4],
-                  fast_eig_power=fast_power)
+                  which_derivatives=[0, 1, 2, 3, 4])
+        if fast_power is not None:   # None = the library default ("auto")
+            kw["fast_eig_power"] = fast_power
         t = _t.time()
         bk.fit(y2, X2, **kw)
         cold = _t.time() - t
@@ -447,15 +448,18 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
             "N=50k fast-power secondary",
             lambda: one(50_000, 20, m50f, fast_power=True,
                         note=" (fast_eig_power)"), metrics, m50f)
-    # N=500k: ONE fit (constant-memory mode auto-engages above ~60% HBM);
-    # too expensive to run twice, so the single wall-clock is the metric
-    # (VERDICT r03 weak #7: the 171 s headline must be driver-captured)
+    # N=500k: ONE fit (constant-memory mode auto-engages above ~60% HBM),
+    # measured on the library DEFAULT config (fast_eig_power="auto" —
+    # which enables reduced-precision power products in exactly this
+    # flow); too expensive to run twice, so the single wall-clock is the
+    # metric (VERDICT r03 weak #7: the headline must be driver-captured)
     m500 = "krls_streaming_fullfit_n500000_p20_s"
     if have_budget("N=500k streaming secondary", need_s=420.0,
                    metric_name=m500):
         run_with_retry(
             "N=500k secondary",
-            lambda: one(500_000, 20, m500, note=" (constant-memory, "
+            lambda: one(500_000, 20, m500, fast_power=None,
+                        note=" (constant-memory, default config, "
                         "single run)", warm_reps=1), metrics, m500)
 
 
