@@ -208,8 +208,8 @@ def main():
         "script; reproduced exactly in tests/test_election_data.py. The "
         "standardized in-pipeline kernel truncates at 225.)")
     best = np.inf
-    for _ in range(3):
-        t = time.time()
+    for _ in range(5):   # best-of-5: the tunneled-TPU RTT noise is
+        t = time.time()  # ±30 ms on a ~100 ms region
         eig, lam, coeffs, spectrum, k_used = postkernel_fit_adaptive(K)
         best = min(best, time.time() - t)
     q = k_used + 8

@@ -96,6 +96,17 @@ def main() -> None:
     # this process only addresses its own half of the kernel's rows
     assert rep["K"]["shard_shape"][0] < n, rep
 
+    # ---- distributed block-Jacobi across the process boundary: the
+    # hybrid sweep's sharded stripe einsums + replicated host pair-eigh
+    # must work when the mesh spans two processes ("auto" would pick
+    # replicated eigh at this size per the memory crossover, so force
+    # the jacobi side explicitly)
+    mj = bk.fit(y, X, noisy=False, mesh=mesh, eig_method="jacobi")
+    assert mj.eig_path == "stepwise:jacobi"
+    assert abs(m_local.lambda_ - mj.lambda_) < 1e-9
+    assert np.max(np.abs(m_local.coeffs - mj.coeffs)) < 1e-8
+    assert not mj.sharding_report["Q"]["replicated"]
+
     # ---- streaming ring fit across the process boundary (VERDICT r03
     # #4): fit(streaming=True, mesh=...) routes every K@V product
     # through the shard_map+ppermute ring — the ppermute collectives now
