@@ -81,10 +81,14 @@ def load_election():
 RETRIES = 3
 
 
-def run_with_retry(label, fn, metrics, metric_name=None):
+def run_with_retry(label, fn, metrics, metric_name=None, time_left=None):
     """Run a secondary up to RETRIES times; emit an explicit failure
     record instead of silently dropping the metric (VERDICT r03 weak #3).
-    Returns True on success."""
+    ``time_left()`` (seconds remaining in the budget) is re-checked
+    BETWEEN attempts: a deterministically-failing long secondary (e.g.
+    a cold N=500k fit that crashes after minutes) must not push the run
+    far past BENCH_BUDGET_S — the primary metric prints last, and a
+    driver-side hard kill would lose it.  Returns True on success."""
     last = None
     for attempt in range(1, RETRIES + 1):
         try:
@@ -93,6 +97,11 @@ def run_with_retry(label, fn, metrics, metric_name=None):
         except Exception as e:   # noqa: BLE001 — secondaries must not sink the primary
             last = e
             log(f"{label} attempt {attempt}/{RETRIES} failed: {e!r}")
+        if (time_left is not None and attempt < RETRIES
+                and time_left() <= 0):
+            log(f"{label}: budget exhausted after {attempt} attempt(s); "
+                "not retrying")
+            break
     if metric_name is not None:
         metrics.append({"metric": metric_name, "value": None, "unit": "s",
                         "vs_baseline": None, "failed": repr(last)})
@@ -119,6 +128,11 @@ def main():
                                 "skipped": f"budget ({left:.0f}s left)"})
             return False
         return True
+
+    def retry(label, fn, metrics_, metric_name=None):
+        return run_with_retry(
+            label, fn, metrics_, metric_name,
+            time_left=lambda: budget_s - (time.time() - t_start))
 
     import jax
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -224,7 +238,6 @@ def main():
 
     # ---- secondary: fused dense path (historical primary) ----
     def dense_secondary():
-        t = time.time()
         eig_d, lam_d, coeffs_d, spectrum_d = postkernel_fit_dense(K)
         best_d = np.inf
         for _ in range(2):
@@ -244,8 +257,8 @@ def main():
 
     if have_budget("dense-path secondary",
                    metric_name="krls_postkernel_fit_dense_n3106_s"):
-        run_with_retry("dense secondary", dense_secondary, metrics,
-                       "krls_postkernel_fit_dense_n3106_s")
+        retry("dense secondary", dense_secondary, metrics,
+              "krls_postkernel_fit_dense_n3106_s")
 
     # ---- secondary: the reference's "Estimating Fewer" protocol ----
     def postkernel_fit_neig50(K, method):
@@ -276,12 +289,12 @@ def main():
 
     if have_budget("neig50 secondary",
                    metric_name="krls_postkernel_fit_neig50_n3106_s"):
-        run_with_retry("Neig=50 secondary", neig50_secondary, metrics,
-                       "krls_postkernel_fit_neig50_n3106_s")
+        retry("Neig=50 secondary", neig50_secondary, metrics,
+              "krls_postkernel_fit_neig50_n3106_s")
 
     # ---- secondary: full derivatives step on the real data ----
     if have_budget("derivatives secondary"):
-        run_with_retry(
+        retry(
             "derivatives secondary",
             lambda: _derivatives_secondary(X, Xd, yd, K, coeffs, spectrum,
                                            eig, sigma, dtype, jnp, jax),
@@ -290,7 +303,7 @@ def main():
     # ---- secondaries: kernel-free streaming fits past the reference's
     # memory envelope (N≈10-15k single-node, README.md:69) ----
     if backend == "tpu":
-        _streaming_secondaries(metrics, have_budget, log, run_with_retry)
+        _streaming_secondaries(metrics, have_budget, log, retry)
 
     for m in metrics:
         print(json.dumps(m), flush=True)

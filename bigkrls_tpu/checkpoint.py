@@ -21,9 +21,11 @@ import json
 import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .parallel.sharded import host_gather
 from .types import Eigensystem
 
 
@@ -44,10 +46,18 @@ def _paths(ckpt_dir: str):
 
 
 def save_eig(ckpt_dir: str, fp: str, eig: Eigensystem) -> None:
+    # host_gather BEFORE the process guard: on a multi-process mesh the
+    # eigenvectors are row-sharded across processes and the all-gather
+    # is collective (every process must participate); only process 0
+    # then touches the filesystem, so concurrent writers can never tear
+    # the checkpoint
+    vecs = host_gather(eig.vectors).astype(np.float64)
+    values = host_gather(eig.values_full).astype(np.float64)
+    if jax.process_index() != 0:
+        return
     os.makedirs(ckpt_dir, exist_ok=True)
     meta_p, vals_p, vecs_bin, vecs_npy = _paths(ckpt_dir)
-    np.save(vals_p, np.asarray(eig.values_full, dtype=np.float64))
-    vecs = np.asarray(eig.vectors, dtype=np.float64)
+    np.save(vals_p, values)
     wrote_native = False
     try:
         from .native.matstore import write_matrix, available
@@ -97,16 +107,21 @@ def save_adaptive(ckpt_dir: str, fp: str, out, sol_fp: Optional[str] = None,
     on identical inputs resumes bit-exact with zero device work, while a
     refit with a different y/tol reuses the eig prefix and re-runs only
     the golden+solve dispatch."""
+    # collective gather first (mesh fits shard the eigenbasis across
+    # processes), THEN only process 0 writes — see save_eig
+    vecs = host_gather(out.eig.vectors).astype(np.float64)
+    values = host_gather(out.eig.values_full).astype(np.float64)
+    if jax.process_index() != 0:
+        return
     os.makedirs(ckpt_dir, exist_ok=True)
     meta_p, vals_p, vecs_bin, vecs_npy = _adaptive_paths(ckpt_dir)
     arrays = dict(
-        values=np.asarray(out.eig.values_full, dtype=np.float64),
+        values=values,
         tail_theta=np.asarray(out.tail_theta, dtype=np.float64),
         tail_w=np.asarray(out.tail_w, dtype=np.float64))
     if coeffs is not None:
         arrays["coeffs"] = np.asarray(coeffs, dtype=np.float64)
     np.savez(vals_p, **arrays)
-    vecs = np.asarray(out.eig.vectors, dtype=np.float64)
     wrote_native = False
     try:
         from .native.matstore import write_matrix, available

@@ -427,6 +427,11 @@ def _fit_impl(
             postkernel_device(K, y_std, jnp.asarray(eigtrunc, dtype),
                               jnp.asarray(tol, dtype), heartbeat=heartbeat)
         vals_np = np.asarray(jax.device_get(vals))
+        if heartbeat:
+            # the fetch above completed execution, so all ticks fired;
+            # release the caller's log closure (a fit-scoped sink must
+            # not outlive the fit)
+            set_heartbeat_log(print)
         if np.any(np.isnan(vals_np)):
             # reference guard (R/bigKRLS_Rcpp_functions.R:8-9)
             raise ValueError(

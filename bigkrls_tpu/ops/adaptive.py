@@ -338,8 +338,17 @@ def _lower_bound_completed_device(values, theta, w):
     def cond_k(k):
         return _wsum_device(values, theta, w, eps + 0.05 * k) <= qf
 
-    k_hi = jnp.ceil((_wsum_device(values, theta, w, jnp.asarray(0.0, dt))
-                     * values[0] / qf) / 0.05).astype(jnp.int32) + 1
+    # bracket: the condition surely holds once L ≥ S·λ₁/q (S = total
+    # mass ≤ n).  Saturate BEFORE the int cast: at large N the float
+    # value exceeds 2³¹ and float→int32 overflow is implementation-
+    # defined in XLA — a wrapped negative bracket would invert the
+    # bisection and silently garbage L (caught by the host f64 oracle,
+    # but then every fit pays the redispatch).  48 bisection iterations
+    # cover any bracket ≤ 2³¹ anyway.
+    k_hi_f = jnp.ceil((_wsum_device(values, theta, w,
+                                    jnp.asarray(0.0, dt))
+                       * values[0] / qf) / 0.05) + 1.0
+    k_hi = jnp.minimum(k_hi_f, 2.0 ** 31 - 1).astype(jnp.int32)
 
     def body(_, lohi):
         lo, hi = lohi

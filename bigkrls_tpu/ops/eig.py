@@ -92,7 +92,17 @@ def _block_orth(W):
 
     Q1, L1 = chol_pass(W)
     Q2, L2 = chol_pass(Q1)
-    ok = jnp.all(jnp.isfinite(L1)) & jnp.all(jnp.isfinite(L2))
+    # breakdown guard: finiteness alone misses the window where the Gram
+    # Cholesky still "succeeds" numerically but Q2 is no longer
+    # orthonormal (cond(W) a few thousand at f32 — e.g. un-projected
+    # power blocks on a fast-decaying spectrum).  _ritz_topk assumes an
+    # orthonormal basis, so verify ‖I − Q2ᵀQ2‖_max directly (one more
+    # q×q GEMM, still ≫ cheaper than Householder) and fall back when it
+    # exceeds ~100× the f32 epsilon.
+    G2 = jnp.matmul(Q2.T, Q2, precision=jax.lax.Precision.HIGHEST)
+    orth_err = jnp.max(jnp.abs(G2 - jnp.eye(G2.shape[0], dtype=G2.dtype)))
+    ok = (jnp.all(jnp.isfinite(L1)) & jnp.all(jnp.isfinite(L2))
+          & jnp.isfinite(orth_err) & (orth_err < 1e-5))
     # guard NaN poisoning: the cond branches see a finite operand
     Q2s = jnp.where(jnp.isfinite(Q2), Q2, 0.0)
     return jax.lax.cond(ok, lambda _: Q2s,
@@ -466,8 +476,8 @@ def eigensystem_streaming(
             import logging
             logging.getLogger("bigkrls_tpu").info(
                 "eigensystem_streaming: reduced-precision power products "
-                "enabled (constant-memory flow; Rayleigh-Ritz stays full "
-                "precision)")
+                "enabled (a Ritz-recomputes-K.B flow; Rayleigh-Ritz "
+                "stays full precision)")
 
     V = _subspace_init(X_std, key, q)
 
@@ -616,11 +626,13 @@ def eigensystem(
     stays distributed.  With a real truncation, "auto" additionally
     prefers subspace iteration regardless of N — its K@V products are
     plain GEMMs against the block-sharded K, which XLA partitions over
-    the mesh.  For a FULL decomposition under a mesh, "auto" routes to
-    the block-Jacobi solver (``parallel/jacobi.py``) whose sweeps are
-    all sharded N×N GEMMs — ``eigh`` itself has no distributed
-    implementation and would gather and run replicated on every device
-    (the last §2.5 gap of VERDICT r02).
+    the mesh.  For a FULL decomposition under a mesh, "auto" follows
+    the MEASURED memory crossover (``_replicated_eigh_fits``,
+    docs/performance.md): replicated ``eigh`` while ~3N² fits
+    per-device memory (30–100× faster there — eigh has no SPMD
+    partitioning either way, so replication costs only memory), and the
+    distributed block-Jacobi solver (``parallel/jacobi.py``, sharded
+    stripe-GEMM sweeps, O(N²/devices) per-device footprint) beyond it.
     """
     n = K.shape[0]
     neig = n if neig is None else min(n, int(neig))

@@ -122,7 +122,11 @@ def _lower_bound_device(values):
     def cond_k(k):
         return _sum_filter(values, eps + 0.05 * k) <= qf
 
-    k_hi = jnp.ceil((n * values[0] / qf) / 0.05).astype(jnp.int32) + 1
+    # saturate before the int cast: float→int32 overflow is
+    # implementation-defined in XLA and n·λ₁/q/0.05 can exceed 2³¹ at
+    # large N with a small q (48 bisection steps cover any ≤2³¹ bracket)
+    k_hi = jnp.minimum(jnp.ceil((n * values[0] / qf) / 0.05) + 1.0,
+                       2.0 ** 31 - 1).astype(jnp.int32)
 
     def body(_, lohi):
         lo, hi = lohi

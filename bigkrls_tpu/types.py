@@ -164,18 +164,23 @@ class KRLSModel:
     # "adaptive-krylov:k=<k>", "eigh-fused(adaptive-fallback)",
     # "streaming-krylov", "stepwise:<method>", or "checkpoint"
     eig_path: Optional[str] = None
-    # tail-spectrum quadrature atoms/weights when K_eigenvalues is a
-    # truncated head (adaptive path): Σ_{tail} f(λ) ≈ Σᵢ wᵢ f(θᵢ).
-    # None whenever K_eigenvalues is the complete spectrum.
+    # tail-spectrum quadrature atoms/weights, present ONLY on the
+    # adaptive path: Σ_{tail} f(λ) ≈ Σᵢ wᵢ f(θᵢ).  Three states:
+    # complete spectrum (spectrum_is_complete, atoms None); adaptive
+    # truncated head + atoms; explicitly-truncated fits (neig < N /
+    # streaming) — incomplete spectrum with NO atoms, where, like the
+    # reference's Neig<N path, every spectrum statistic intentionally
+    # uses the truncated list itself.
     eig_tail_theta: Optional[Array] = None
     eig_tail_w: Optional[Array] = None
 
     @property
     def spectrum_is_complete(self) -> bool:
         """True when ``K_eigenvalues`` holds the full spectrum (one value
-        per observation); False on the adaptive-truncation path, where it
-        is the computed head and ``eig_tail_theta``/``eig_tail_w``
-        summarize the rest."""
+        per observation).  False on the adaptive-truncation path (head +
+        ``eig_tail_theta``/``eig_tail_w`` quadrature) AND on explicitly
+        truncated fits (``neig < N`` / streaming), which carry NO tail
+        atoms — check ``eig_tail_theta is not None`` to distinguish."""
         return int(np.asarray(self.K_eigenvalues).shape[0]) == self.n
 
     @property
