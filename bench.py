@@ -28,10 +28,16 @@ METRIC DEFINITIONS (and their history, per ADVICE r02):
   Fewer" protocol (Neig=50, eigtrunc=0.01).  Since r02 this times the
   block-Krylov path that ``neig=50`` actually routes to (the r01 value
   timed dense eigh-then-slice, also printed for comparison).
-* ``krls_streaming_fullfit_n50000_p20_s`` (+ ``..._fastpower_s``) and
-  ``krls_streaming_fullfit_n100000_p20_s`` — kernel-free streaming full
+* ``krls_streaming_fullfit_n50000_p20_s`` (+ ``..._fastpower_s``),
+  ``krls_streaming_fullfit_n100000_p20_s`` and (r04)
+  ``krls_streaming_fullfit_n500000_p20_s`` — kernel-free streaming full
   fits at N beyond the reference's single-node envelope (N≈10–15k,
-  ``README.md:69``); no reference baseline exists.
+  ``README.md:69``); no reference baseline exists.  The 500k metric
+  runs the library DEFAULT config (constant-memory + auto fast power),
+  single run.
+* ``streaming_product_n100000_tflops`` (r04) — achieved TFLOP/s of one
+  production streaming K@V product (the roofline datum; the full
+  roofline analysis incl. HBM GB/s prints to stderr).
 
 The wall-clock budget (BENCH_BUDGET_S, default 1500 s) is re-checked
 before EVERY secondary block, so a cold compile cache can never starve
@@ -349,7 +355,7 @@ def _derivatives_secondary(X, Xd, yd, K, coeffs, spectrum, eig, sigma,
         f"(reference forks {p} R workers for this)")
 
 
-def _streaming_roofline(n2, log):
+def _streaming_roofline(n2, log, metrics=None):
     """Measured (not asserted — VERDICT r03 weak #6) roofline for ONE
     streaming K@V product at the N=100k shape: achieved TFLOP/s AND
     achieved HBM GB/s against the chip's peaks, for the production XLA
@@ -397,6 +403,13 @@ def _streaming_roofline(n2, log):
         f"MXU-bound at {flops / hbm_bytes:.0f}+ FLOP/byte; the Pallas "
         f"alternative measures {out['pallas'] * 1e3:.0f} ms "
         f"(padding waste; ops/matvec.py)")
+    if metrics is not None:
+        # driver-recorded speed-of-light datum (BASELINE north star):
+        # achieved TFLOP/s of the production streaming product
+        metrics.append({
+            "metric": f"streaming_product_n{n2}_tflops",
+            "value": round(flops / dt / 1e12, 2), "unit": "TFLOP/s",
+            "vs_baseline": None})
 
 
 def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
@@ -453,8 +466,9 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
         run_with_retry("N=100k secondary",
                        lambda: one(100_000, 20, m100), metrics, m100)
     if have_budget("N=100k roofline measurement"):
-        run_with_retry("roofline", lambda: _streaming_roofline(100_000, log),
-                       metrics)
+        run_with_retry(
+            "roofline",
+            lambda: _streaming_roofline(100_000, log, metrics), metrics)
     m50f = "krls_streaming_fullfit_n50000_p20_fastpower_s"
     if have_budget("N=50k fast-power streaming secondary", metric_name=m50f):
         run_with_retry(
