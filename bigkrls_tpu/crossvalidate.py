@@ -169,9 +169,21 @@ def crossvalidate(
     )
 
 
+class CVSummary(dict):
+    """``summary_cv``'s return: a dict carrying the overview matrix,
+    per-fold ``KRLSSummary`` objects and the formatted ``"text"`` —
+    printing it shows the overview text, matching the reference's
+    printed ``summary.bigKRLS_CV`` (and the ``print(bk.summary_cv(cv))``
+    recipe in docs/migration.md)."""
+
+    def __str__(self) -> str:
+        return self.get("text", super().__repr__())
+
+
 def summary_cv(cv: KRLSCrossValidation, **summary_kwargs):
     """Overview of model performance plus per-model summaries
-    (``summary.bigKRLS_CV``, ``R/bigKRLS.R:783-879``)."""
+    (``summary.bigKRLS_CV``, ``R/bigKRLS.R:783-879``).  Returns a
+    :class:`CVSummary` (a dict whose ``str()`` is the overview text)."""
     from .inference import summary
 
     lines = ["", "Overview of Model Performance", ""]
@@ -211,4 +223,4 @@ def summary_cv(cv: KRLSCrossValidation, **summary_kwargs):
                 out[f"training{k + 1}_summary"] = summary(fold.trained,
                                                           **summary_kwargs)
     out["text"] = "\n".join(lines)
-    return out
+    return CVSummary(out)

@@ -33,6 +33,9 @@ def test_ptesting_split(synth):
     assert cv["MSE_oos"] > 0
     out = bk.summary_cv(cv)
     assert "overview" in out and "training_summary" in out
+    # print(summary_cv(cv)) shows the overview text, like the reference's
+    # printed summary.bigKRLS_CV (docs/migration.md recipe)
+    assert str(out).startswith("\nOverview of Model Performance")
 
 
 def test_ptesting_reproducible(synth):
