@@ -181,8 +181,7 @@ def main():
     def postkernel_fit_adaptive(K):
         res = postkernel_adaptive(K, yd, 0.001, 1e-3 * N)
         assert res is not None, "adaptive path fell back on election data"
-        out, lam, Le, coeffs = res
-        spectrum = 1.0 / (out.eig.values + lam) ** 2
+        out, lam, Le, coeffs, spectrum = res   # filter comes out fused
         jax.block_until_ready((coeffs, spectrum))
         return out.eig, lam, coeffs, spectrum, out.k
 

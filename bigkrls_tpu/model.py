@@ -304,6 +304,7 @@ def _fit_impl(
     ckpt_fp = None
     adaptive_out = None
     adaptive_attempted = False
+    adaptive_spec = None
     fused_out = None
     # eligibility for the adaptive-truncation route (ops/adaptive.py) —
     # checkpoint_dir does NOT disqualify it (VERDICT r03 weak #2) and
@@ -378,7 +379,7 @@ def _fit_impl(
             K, y_std, eigtrunc, n / 1000.0 if tol is None else tol,
             noisy=noisy, mesh=mesh, log=log)
         if res is not None:
-            adaptive_out, lam_a, Le_a, coeffs_a = res
+            adaptive_out, lam_a, Le_a, coeffs_a, adaptive_spec = res
             eig = adaptive_out.eig
             eig_path = f"adaptive-krylov:k={adaptive_out.k}"
             fused_out = (lam_a, Le_a, coeffs_a)
@@ -515,7 +516,11 @@ def _fit_impl(
 
     vcov_c_fac = None
     if vcov_est:
-        spectrum = sigmasq / (eig.values + lambda_) ** 2   # (k,) Var(c) filter
+        if adaptive_spec is not None:
+            # the fused adaptive program already emitted 1/(λ+λ*)²
+            spectrum = sigmasq * adaptive_spec
+        else:
+            spectrum = sigmasq / (eig.values + lambda_) ** 2  # (k,) filter
     else:
         spectrum = None
 

@@ -495,8 +495,11 @@ def _adaptive_fused(K, y_std, key, k: int, iters: int, eigtrunc, tol,
     Lf, Uf, X1, X2, S1, S2, it = jax.lax.while_loop(cond, body, state)
     lam = jnp.where(S1 < S2, X1, X2)
     Le, coeffs = loo_c(lam)
+    # the vcov spectral filter (sans the σ̂² scale, which needs the
+    # residuals): free here, saves the caller a separate dispatch
+    spectrum = mask / (vals + lam) ** 2
     return (vals, vecs, moments, lastkeeper, theta, w, L, U,
-            lam, Le, coeffs, it)
+            lam, Le, coeffs, spectrum, it)
 
 
 def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
@@ -504,9 +507,11 @@ def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
                         mesh=None, log: Callable[[str], None] = print):
     """The adaptive post-kernel fit in ONE device dispatch
     (:func:`_adaptive_fused`) plus one result fetch.  Returns
-    ``(AdaptiveEig, lam, Le, coeffs)`` or ``None`` when the dense path
-    is the right call.  Shared by ``model.fit`` and ``bench.py`` so both
-    measure the same code.
+    ``(AdaptiveEig, lam, Le, coeffs, spectrum)`` — ``spectrum`` is the
+    masked vcov filter ``1/(λ+λ*)²`` (σ̂²-scale applied by the caller;
+    it comes straight out of the fused program, no extra dispatch) —
+    or ``None`` when the dense path is the right call.  Shared by
+    ``model.fit`` and ``bench.py`` so both measure the same code.
 
     Verification protocol (nothing is trusted at working precision):
 
@@ -551,7 +556,7 @@ def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
 
     for attempt in range(3):
         (vals, vecs, moments, lk_d, theta_d, w_d, L_d, U_d, lam_d, Le_d,
-         coeffs_d, _it) = _adaptive_fused(
+         coeffs_d, spectrum_d, _it) = _adaptive_fused(
             K, y_std, key, k, iters, jnp.asarray(eigtrunc, dt),
             jnp.asarray(tol, dt), extra)
         vals_np, m_np, lk_dev, L_dev, U_dev = jax.device_get(
@@ -608,12 +613,13 @@ def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
                    and abs(float(U_dev) - U) <= 1e-5 * max(1.0, abs(U))
                    and int(lk_dev) == lastkeeper)
     if same_bounds:
-        return out, float(lam_d), Le_d, coeffs_d
+        return out, float(lam_d), Le_d, coeffs_d, spectrum_d[:lastkeeper]
     if noisy:
         log("  adaptive eig: working-precision bounds differ from the "
             "f64 oracle; re-running golden+solve with exact bounds")
     lam, Le, coeffs = resume_adaptive(out, y_std, tol)
-    return out, lam, Le, coeffs
+    spectrum = 1.0 / (out.eig.values + lam) ** 2
+    return out, lam, Le, coeffs, spectrum
 
 
 def resume_adaptive(out: "AdaptiveEig", y_std, tol: float):

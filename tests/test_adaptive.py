@@ -95,7 +95,11 @@ def test_postkernel_adaptive_equals_stepwise_route(synth_spectrum):
     Kj, yj, n = synth_spectrum
     res = postkernel_adaptive(Kj, yj, 0.001, n / 1000.0)
     assert res is not None
-    out, lam, Le, coeffs = res
+    out, lam, Le, coeffs, spectrum = res
+    # the fused-program vcov filter equals the recomputed one
+    assert np.allclose(np.asarray(spectrum),
+                       1.0 / (np.asarray(out.eig.values) + lam) ** 2,
+                       rtol=1e-12)
     lam_ref = float(lambda_search(out.eig, yj, L=out.L, U=out.U,
                                   tol=n / 1000.0))
     Le_ref, c_ref = solve_for_c(out.eig, yj, lam_ref)
