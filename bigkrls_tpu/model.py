@@ -290,8 +290,14 @@ def _fit_impl(
             K = sharded_gauss_kernel(mesh)(X_std,
                                            jnp.asarray(sigma, dtype))
         elif kernel_impl == "pallas" or (
-                kernel_impl == "auto" and dtype == jnp.float32 and n >= 4096
+                kernel_impl == "auto" and dtype == jnp.float32 and n >= 2048
                 and jax.default_backend() == "tpu"):
+            # unlike the streaming K@V product (where XLA wins — see
+            # ops/matvec.py), the DENSE builder's output is the N×N tile
+            # grid itself and the Pallas kernel measures faster at every
+            # shape tried (7.0 vs 9.5 ms at N=3106, 10.9 vs 18.3 ms at
+            # N=16384, agreement 1e-6), so it is the f32 TPU default
+            # from N=2048 up (below that, compile cost dominates)
             K = gauss_kernel_pallas(X_std, sigma)
         else:
             K = gauss_kernel(X_std, sigma)
