@@ -57,6 +57,13 @@ def save_eig(ckpt_dir: str, fp: str, eig: Eigensystem) -> None:
         return
     os.makedirs(ckpt_dir, exist_ok=True)
     meta_p, vals_p, vecs_bin, vecs_npy = _paths(ckpt_dir)
+    # invalidate FIRST (ADVICE r04): if this process dies after writing
+    # new arrays but before the new meta, a stale meta from a previous
+    # checkpoint must not remain paired with them — unlinking up front
+    # guarantees a torn overwrite reads as "no checkpoint", never as a
+    # fingerprint-matching checkpoint with inconsistent arrays.
+    if os.path.exists(meta_p):
+        os.unlink(meta_p)
     np.save(vals_p, values)
     wrote_native = False
     try:
@@ -68,10 +75,13 @@ def save_eig(ckpt_dir: str, fp: str, eig: Eigensystem) -> None:
         pass
     if not wrote_native:
         np.save(vecs_npy, vecs)
-    # meta written LAST: its presence marks a complete checkpoint
-    with open(meta_p, "w") as fh:
+    # meta written LAST and atomically (temp + rename): its presence
+    # marks a complete, internally consistent checkpoint
+    tmp_p = meta_p + ".tmp"
+    with open(tmp_p, "w") as fh:
         json.dump({"fingerprint": fp, "lastkeeper": eig.lastkeeper,
                    "native": wrote_native}, fh)
+    os.replace(tmp_p, meta_p)
 
 
 def _adaptive_paths(ckpt_dir: str):
@@ -115,6 +125,12 @@ def save_adaptive(ckpt_dir: str, fp: str, out, sol_fp: Optional[str] = None,
         return
     os.makedirs(ckpt_dir, exist_ok=True)
     meta_p, vals_p, vecs_bin, vecs_npy = _adaptive_paths(ckpt_dir)
+    # invalidate FIRST — see save_eig (ADVICE r04: a crash between the
+    # array writes and the meta write must never leave an OLD meta, with
+    # an old fingerprint/lastkeeper/k/L/U, paired with NEW arrays; the
+    # λ-bounds are parity-critical, so a silent mispair shifts λ*)
+    if os.path.exists(meta_p):
+        os.unlink(meta_p)
     arrays = dict(
         values=values,
         tail_theta=np.asarray(out.tail_theta, dtype=np.float64),
@@ -132,15 +148,18 @@ def save_adaptive(ckpt_dir: str, fp: str, out, sol_fp: Optional[str] = None,
         pass
     if not wrote_native:
         np.save(vecs_npy, vecs)
-    # meta written LAST: its presence marks a complete checkpoint
+    # meta written LAST and atomically (temp + rename): its presence
+    # marks a complete, internally consistent checkpoint
     meta = {"fingerprint": fp, "lastkeeper": out.eig.lastkeeper,
             "k": out.k, "L": out.L, "U": out.U, "native": wrote_native}
     if sol_fp is not None and lam is not None:
         meta["sol_fp"] = sol_fp
         meta["lam"] = float(lam)
         meta["Le"] = float(Le)
-    with open(meta_p, "w") as fh:
+    tmp_p = meta_p + ".tmp"
+    with open(tmp_p, "w") as fh:
         json.dump(meta, fh)
+    os.replace(tmp_p, meta_p)
 
 
 def load_adaptive(ckpt_dir: str, fp: str, dtype,

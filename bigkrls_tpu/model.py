@@ -360,6 +360,14 @@ def _fit_impl(
                     fused_out = resume_adaptive(
                         adaptive_out, y_std,
                         n / 1000.0 if tol is None else tol)
+                    # refresh the stored solution under the NEW (y, tol)
+                    # fingerprint, so the next refit on these inputs hits
+                    # the zero-device-work fast path that save_adaptive's
+                    # docstring promises (ADVICE r04)
+                    ckpt.save_adaptive(
+                        checkpoint_dir, ckpt_fp, adaptive_out,
+                        sol_fp=sol_fp, lam=fused_out[0], Le=fused_out[1],
+                        coeffs=host_gather(fused_out[2]))
         if eig is None:
             eig = ckpt.load_eig(checkpoint_dir, ckpt_fp, dtype)
             if eig is not None:
@@ -430,15 +438,19 @@ def _fit_impl(
         heartbeat = noisy and n > HEARTBEAT_MIN_N
         if heartbeat:
             set_heartbeat_log(log)
-        vals, vecs, lk_d, lam_d, Le_f, coeffs_f, _spec, _fused_iters = \
-            postkernel_device(K, y_std, jnp.asarray(eigtrunc, dtype),
-                              jnp.asarray(tol, dtype), heartbeat=heartbeat)
-        vals_np = np.asarray(jax.device_get(vals))
-        if heartbeat:
-            # the fetch above completed execution, so all ticks fired;
-            # release the caller's log closure (a fit-scoped sink must
-            # not outlive the fit)
-            set_heartbeat_log(print)
+        try:
+            vals, vecs, lk_d, lam_d, Le_f, coeffs_f, _spec, _fused_iters = \
+                postkernel_device(K, y_std, jnp.asarray(eigtrunc, dtype),
+                                  jnp.asarray(tol, dtype),
+                                  heartbeat=heartbeat)
+            vals_np = np.asarray(jax.device_get(vals))
+        finally:
+            # release the caller's log closure even if the dispatch or
+            # fetch raises (e.g. a TPU worker crash) — a fit-scoped sink
+            # must not outlive the fit, or later fits' heartbeat ticks
+            # land in a dead closure (ADVICE r04)
+            if heartbeat:
+                set_heartbeat_log(print)
         if np.any(np.isnan(vals_np)):
             # reference guard (R/bigKRLS_Rcpp_functions.R:8-9)
             raise ValueError(

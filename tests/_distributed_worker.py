@@ -129,6 +129,28 @@ def main() -> None:
     assert not reps["Q"]["replicated"], reps
     assert reps["Q"]["shard_shape"][0] < n, reps
 
+    # ---- adaptive route across the process boundary (ADVICE r04):
+    # postkernel_adaptive's single fused program (Krylov + moments +
+    # bounds + golden + solve) runs under a mesh spanning two processes;
+    # its small outputs (values/moments/lastkeeper/L/U) must be
+    # fetchable on every host — the _fetch_replicated reshard — and
+    # λ*/coefficients must agree with the single-process adaptive fit.
+    na = 256
+    Xa = rng.normal(size=(na, p))
+    Xa[:, 2] = (Xa[:, 2] > 0).astype(float)
+    ya = np.asarray(np.sin(Xa[:, 0]) + Xa[:, 1] + 0.8 * Xa[:, 2]
+                    + 0.2 * rng.normal(size=na))
+    ma_local = bk.fit(ya, Xa, noisy=False, eigtrunc=0.01,
+                      eig_method="adaptive")
+    ma_dist = bk.fit(ya, Xa, noisy=False, eigtrunc=0.01,
+                     eig_method="adaptive", mesh=mesh)
+    assert ma_local.eig_path.startswith("adaptive-krylov"), ma_local.eig_path
+    assert ma_dist.eig_path.startswith("adaptive-krylov"), ma_dist.eig_path
+    assert abs(ma_local.lambda_ - ma_dist.lambda_) < 1e-9, \
+        (ma_local.lambda_, ma_dist.lambda_)
+    assert np.max(np.abs(ma_local.coeffs - ma_dist.coeffs)) < 1e-8
+    assert not ma_dist.sharding_report["Q"]["replicated"]
+
     fit_sum = float(np.sum(m_dist.coeffs))
     print(f"OK process={pid} trace={float(np.asarray(C).trace())} "
           f"fitsum={fit_sum:.12f} lam={m_dist.lambda_:.12f} "

@@ -70,6 +70,19 @@ def test_checkpoint_adaptive_resume_bit_exact(tmp_path):
     assert m4.lambda_ == pytest.approx(m4f.lambda_, rel=1e-9)
     assert np.max(np.abs(m4.coeffs - m4f.coeffs)) < 1e-9
 
+    # ADVICE r04: the sol_fp-miss resume above must REFRESH the stored
+    # solution under the new (y, tol) fingerprint, so the NEXT identical
+    # refit hits the zero-device-work stored-solution fast path
+    import json
+    with open(os.path.join(d, "adaptive_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["lam"] == m4.lambda_
+    m5 = bk.fit(y2, X, noisy=False, eigtrunc=0.001, derivative=False,
+                checkpoint_dir=d)
+    assert m5.eig_path == "checkpoint"
+    assert m5.lambda_ == m4.lambda_
+    assert np.array_equal(m5.coeffs, m4.coeffs)
+
     # a config change invalidates the adaptive checkpoint too
     m3 = bk.fit(y, X, noisy=False, eigtrunc=0.002, derivative=False,
                 checkpoint_dir=d)
@@ -94,6 +107,33 @@ def test_checkpoint_invalidated_on_config_change(tmp_path):
     logs = []
     bk.fit(y, X, sigma=7.0, noisy=True, checkpoint_dir=d, log=logs.append)
     assert not any("resumed" in l for l in logs)
+
+
+def test_torn_checkpoint_overwrite_invalidates(tmp_path, monkeypatch):
+    """ADVICE r04: a process dying between a different-config overwrite's
+    array writes and its meta write must never leave the OLD meta (old
+    fingerprint/lastkeeper) paired with NEW arrays — the meta is
+    unlinked before any array is written, so a torn overwrite reads as
+    "no checkpoint"."""
+    y, X = _data()
+    d = str(tmp_path / "ck")
+    bk.fit(y, X, noisy=False, checkpoint_dir=d)
+    meta_p = os.path.join(d, "eig_meta.json")
+    assert os.path.exists(meta_p)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-checkpoint")
+
+    monkeypatch.setattr(np, "save", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        bk.fit(y, X, sigma=7.0, noisy=False, checkpoint_dir=d)
+    monkeypatch.undo()
+    assert not os.path.exists(meta_p)   # invalidated up front, no mispair
+    # and the next fit simply recomputes and re-checkpoints
+    m2 = bk.fit(y, X, sigma=7.0, noisy=False, checkpoint_dir=d)
+    assert os.path.exists(meta_p)
+    m3 = bk.fit(y, X, sigma=7.0, noisy=False, checkpoint_dir=d)
+    assert np.allclose(m2.coeffs, m3.coeffs)
 
 
 def test_corrupt_checkpoint_recomputed(tmp_path):
