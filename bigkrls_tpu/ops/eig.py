@@ -356,14 +356,8 @@ def _auto_krylov(n: int, q: int, iters: int, itemsize: int,
     degrades to constant memory and logs why (no-silent-caps)."""
     basis_bytes = 2 * n * (iters + 1) * q * itemsize
     if budget is None:
-        try:
-            stats = jax.devices()[0].memory_stats()
-            if stats:
-                budget = stats.get("bytes_limit")
-        except Exception:
-            budget = None
-        if budget is None:
-            budget = 8 * 1024 ** 3
+        from ..utils.memory import device_memory_budget
+        budget = device_memory_budget()
     ok = basis_bytes <= fraction * budget
     if not ok:
         import logging
@@ -589,14 +583,8 @@ def _replicated_eigh_fits(n: int, itemsize: int, budget: Optional[int] = None,
     fits comfortably per device, distribute when it cannot."""
     need = 3 * n * n * itemsize
     if budget is None:
-        try:
-            stats = jax.devices()[0].memory_stats()
-            if stats:
-                budget = stats.get("bytes_limit")
-        except Exception:
-            budget = None
-        if budget is None:
-            budget = 8 * 1024 ** 3
+        from ..utils.memory import device_memory_budget
+        budget = device_memory_budget()
     return need <= fraction * budget
 
 
