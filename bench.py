@@ -38,6 +38,15 @@ METRIC DEFINITIONS (and their history, per ADVICE r02):
 * ``streaming_product_n100000_tflops`` (r04) — achieved TFLOP/s of one
   production streaming K@V product (the roofline datum; the full
   roofline analysis incl. HBM GB/s prints to stderr).
+* ``krls_cv_census_ptesting20_neig50_s`` (r05) — one full
+  ``crossvalidate`` call of the reference's census replication protocol
+  (``cv_election2016.R:23-26``), warm per-seed wall-clock after the
+  seed-1 compile (VERDICT r04 missing #3).
+
+r05 changes: the PRIMARY record carries ``value_min``/``value_median``/
+``reps`` over 9 timed runs (tunnel variance stops deciding the
+headline); the 500k record is best-of-2 with the per-phase ``timings``
+breakdown and the ``product_floor_s`` FLOP-model floor attached.
 
 The wall-clock budget (BENCH_BUDGET_S, default 1500 s) is re-checked
 before EVERY secondary block, so a cold compile cache can never starve
@@ -186,14 +195,16 @@ def main():
         return out.eig, lam, coeffs, spectrum, out.k
 
     def postkernel_fit_dense(K):
-        """The fused dense program — the r01/r02 primary's timed code."""
+        """The fused dense program — the r01/r02 primary's timed code.
+        ONE device_get syncs the whole program (separate int()/float()
+        fetches would each add a tunnel RTT — same fix as model.py)."""
         vals, vecs, lastkeeper, lam, Le, coeffs, spectrum, _ = \
             postkernel_device(K, yd, eigtrunc_d, tol_d)
-        jax.block_until_ready((coeffs, spectrum))
-        lk = int(lastkeeper)
+        lk, lam_h = jax.device_get((lastkeeper, lam))
+        lk = int(lk)
         eig = Eigensystem(values_full=vals, vectors=vecs[:, :lk],
                           lastkeeper=lk)
-        return eig, float(lam), coeffs, spectrum[:lk]
+        return eig, float(lam_h), coeffs, spectrum[:lk]
 
     # ---- warmup (compile) + timed: kernel ----
     # NOTE on sync: on the axon (tunneled TPU) backend,
@@ -226,11 +237,19 @@ def main():
         "kernel, outcome included — a read.csv quirk of the reference "
         "script; reproduced exactly in tests/test_election_data.py. The "
         "standardized in-pipeline kernel truncates at 225.)")
-    best = np.inf
-    for _ in range(5):   # best-of-5: the tunneled-TPU RTT noise is
-        t = time.time()  # ±30 ms on a ~100 ms region
+    # distribution over 9 timed runs (VERDICT r04 weak #1: the tunneled-
+    # TPU RTT noise is ±30 ms on a ~100 ms region, so the headline
+    # carries min AND median as explicit fields instead of letting one
+    # draw decide it)
+    times = []
+    for _ in range(9):
+        t = time.time()
         eig, lam, coeffs, spectrum, k_used = postkernel_fit_adaptive(K)
-        best = min(best, time.time() - t)
+        times.append(time.time() - t)
+    best = float(np.min(times))
+    median_s = float(np.median(times))
+    log(f"adaptive post-kernel distribution over {len(times)} runs: "
+        f"min {best:.3f}s median {median_s:.3f}s max {max(times):.3f}s")
     q = k_used + 8
     d_iters = 3   # precision-matched depth at f32 (ops/adaptive.py)
     f_adaptive = (2.0 * N * N * q * (d_iters + 1)     # Krylov K@V products
@@ -305,6 +324,15 @@ def main():
                                            eig, sigma, dtype, jnp, jax),
             metrics)
 
+    # ---- secondary: the reference's flagship CV workflow — the census
+    # replication protocol, crossvalidate(ptesting=20, Neig=50)
+    # (cv_election2016.R:23-26); measures the full user-facing loop:
+    # fit + predict(+metrics) + AME extraction (VERDICT r04 missing #3)
+    mcv = "krls_cv_census_ptesting20_neig50_s"
+    if have_budget("census CV secondary", metric_name=mcv):
+        retry("census CV secondary",
+              lambda: _cv_secondary(metrics, log), metrics, mcv)
+
     # ---- secondaries: kernel-free streaming fits past the reference's
     # memory envelope (N≈10-15k single-node, README.md:69) ----
     if backend == "tpu":
@@ -317,6 +345,9 @@ def main():
         "value": round(best, 4),
         "unit": "s",
         "vs_baseline": round(BASELINE_S / best, 2),
+        "value_min": round(best, 4),
+        "value_median": round(median_s, 4),
+        "reps": len(times),
     }), flush=True)
 
 
@@ -352,6 +383,45 @@ def _derivatives_secondary(X, Xd, yd, K, coeffs, spectrum, eig, sigma,
     log(f"all-{p}-column derivatives + AME variances: {deriv_s:.3f}s "
         f"[{f_deriv / deriv_s / 1e12:.1f} TFLOP/s @ 2N^2(P+k)] "
         f"(reference forks {p} R workers for this)")
+
+
+CENSUS_CSV = "/root/reference/examples/data2016GEcensus.csv"
+
+
+def _cv_secondary(metrics, log):
+    """Wall-clock of ONE census-protocol crossvalidate call — the
+    reference's published replication workflow re-run per seed
+    (``cv_election2016.R:17-45``).  The 20% split keeps the train shape
+    constant across seeds (round(0.8·3106) = 2485 rows), so after the
+    seed-1 warmup every further seed reuses the compiled pipeline —
+    which is exactly how the reference script loops seeds."""
+    import time as _t
+    import bigkrls_tpu as bk
+    if not os.path.exists(CENSUS_CSV):
+        raise FileNotFoundError(CENSUS_CSV)
+    d = np.genfromtxt(CENSUS_CSV, delimiter=",", skip_header=1)
+    yc, Xc = d[:, 1], d[:, 2:]
+    t = _t.time()
+    bk.crossvalidate(yc, Xc, ptesting=20, neig=50, seed=1, noisy=False)
+    cold = _t.time() - t
+    best = np.inf
+    r2s = []
+    for seed in (2, 3):
+        t = _t.time()
+        cv = bk.crossvalidate(yc, Xc, ptesting=20, neig=50, seed=seed,
+                              noisy=False)
+        best = min(best, _t.time() - t)
+        r2s.append(cv["pseudoR2_oos"])
+    log(f"census CV (ptesting=20, Neig=50): cold {cold:.1f}s, per-seed "
+        f"warm {best:.2f}s (oos R2 {', '.join(f'{r:.3f}' for r in r2s)}) "
+        f"— the reference loops this per seed with a fresh R process "
+        f"each run")
+    metrics.append({"metric": "krls_cv_census_ptesting20_neig50_s",
+                    "value": round(best, 4), "unit": "s",
+                    "vs_baseline": None, "value_cold": round(cold, 2)})
+
+
+_ROOFLINE_TFLOPS = [25.0]   # updated by the measured roofline below
 
 
 def _streaming_roofline(n2, log, metrics=None):
@@ -402,6 +472,7 @@ def _streaming_roofline(n2, log, metrics=None):
         f"MXU-bound at {flops / hbm_bytes:.0f}+ FLOP/byte; the Pallas "
         f"alternative measures {out['pallas'] * 1e3:.0f} ms "
         f"(padding waste; ops/matvec.py)")
+    _ROOFLINE_TFLOPS[0] = flops / dt / 1e12
     if metrics is not None:
         # driver-recorded speed-of-light datum (BASELINE north star):
         # achieved TFLOP/s of the production streaming product
@@ -420,7 +491,8 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
         "(ops/matvec.py) and its cost is inside the fit times below "
         "(VERDICT r03 weak #5).")
 
-    def one(n2, p2, metric, fast_power=False, note="", warm_reps=2):
+    def one(n2, p2, metric, fast_power=False, note="", warm_reps=2,
+            attach_timings=False):
         rng = np.random.default_rng(2016)
         X2 = rng.normal(size=(n2, p2))
         y2 = np.sin(X2[:, 0]) + X2 @ (0.2 * np.ones(p2)) + \
@@ -430,27 +502,46 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
         if fast_power is not None:   # None = the library default ("auto")
             kw["fast_eig_power"] = fast_power
         t = _t.time()
-        bk.fit(y2, X2, **kw)
+        m2 = bk.fit(y2, X2, **kw)
         cold = _t.time() - t
         warm2 = np.inf
-        m2 = None
         for _ in range(warm_reps - 1):
             t = _t.time()
             m2 = bk.fit(y2, X2, **kw)
             warm2 = min(warm2, _t.time() - t)
-        if m2 is None:           # warm_reps == 1: report the single run
+        if warm2 is np.inf:      # warm_reps == 1: report the single run
             warm2 = cold
         # streaming matmul model: (depth 6 at f32) + init + Ritz
         # products, each 2N^2(P+q) with q=540 at neig=500
         f_stream = 8.0 * 2.0 * n2 ** 2 * (p2 + 540)
-        r2 = f" (R2={m2.R2:.3f})" if m2 is not None else ""
         log(f"N={n2 // 1000}k streaming full fit{note}: cold {cold:.1f}s, "
-            f"warm {warm2:.2f}s{r2} "
+            f"warm {warm2:.2f}s (R2={m2.R2:.3f}) "
             f"[eig-phase ~{f_stream / warm2 / 1e12:.1f} TFLOP/s upper "
-            f"bound @ 20N^2(P+q)] — beyond the reference's memory "
+            f"bound @ 16N^2(P+q)] — beyond the reference's memory "
             f"envelope entirely")
-        metrics.append({"metric": metric, "value": round(warm2, 4),
-                        "unit": "s", "vs_baseline": None})
+        rec = {"metric": metric, "value": round(min(cold, warm2), 4),
+               "unit": "s", "vs_baseline": None}
+        if attach_timings:
+            # VERDICT r04 weak #2: per-phase breakdown + product-floor
+            # model recorded alongside the wall-clock, so the gap above
+            # the floor has an owner
+            rec["value_cold"] = round(cold, 2)
+            if warm_reps > 1:
+                rec["value_warm"] = round(warm2, 2)
+            rec["timings"] = {kk: round(vv, 2)
+                              for kk, vv in m2.timings.items()}
+            rate = _ROOFLINE_TFLOPS[0]
+            floor_s = f_stream / (rate * 1e12)
+            rec["product_floor_s"] = round(floor_s, 1)
+            log(f"  phase breakdown: "
+                + ", ".join(f"{kk}={vv:.1f}s"
+                            for kk, vv in m2.timings.items()))
+            log(f"  product-floor model: ~8 products x 2N^2(P+q) = "
+                f"{f_stream / 1e12:.0f} TFLOP; at the measured "
+                f"{rate:.1f} TFLOP/s product rate the floor is "
+                f"~{floor_s:.0f}s -> fit runs at "
+                f"{min(cold, warm2) / floor_s:.2f}x the floor")
+        metrics.append(rec)
 
     # order: 50k (the r02 headline), then 100k (the new scale headline),
     # the fast-power variant, then the N=500k constant-memory stretch —
@@ -474,19 +565,21 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
             "N=50k fast-power secondary",
             lambda: one(50_000, 20, m50f, fast_power=True,
                         note=" (fast_eig_power)"), metrics, m50f)
-    # N=500k: ONE fit (constant-memory mode auto-engages above ~60% HBM),
-    # measured on the library DEFAULT config (fast_eig_power="auto" —
-    # which enables reduced-precision power products in exactly this
-    # flow); too expensive to run twice, so the single wall-clock is the
-    # metric (VERDICT r03 weak #7: the headline must be driver-captured)
+    # N=500k: best-of-2 (cold + warm — VERDICT r04 weak #2: r04's single
+    # run could not show whether the persistent cache buys anything at
+    # this shape, nor where the time goes), library DEFAULT config
+    # (constant-memory auto-engages above ~60% HBM; fast_eig_power=
+    # "auto" enables reduced-precision power products in exactly this
+    # flow), with the per-phase breakdown and the product-floor model
+    # attached to the metric record
     m500 = "krls_streaming_fullfit_n500000_p20_s"
-    if have_budget("N=500k streaming secondary", need_s=420.0,
+    if have_budget("N=500k streaming secondary", need_s=700.0,
                    metric_name=m500):
         run_with_retry(
             "N=500k secondary",
             lambda: one(500_000, 20, m500, fast_power=None,
-                        note=" (constant-memory, default config, "
-                        "single run)", warm_reps=1), metrics, m500)
+                        note=" (constant-memory, default config)",
+                        warm_reps=2, attach_timings=True), metrics, m500)
 
 
 if __name__ == "__main__":

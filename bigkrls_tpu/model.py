@@ -447,7 +447,12 @@ def _fit_impl(
                 postkernel_device(K, y_std, jnp.asarray(eigtrunc, dtype),
                                   jnp.asarray(tol, dtype),
                                   heartbeat=heartbeat)
-            vals_np = np.asarray(jax.device_get(vals))
+            # ONE round trip for every host-needed scalar: separate
+            # int(lk_d)/float(lam_d) fetches each cost a full tunnel
+            # RTT (~25 ms) on a latency-bound region
+            vals_np, lk_h, lam_h, iters_h = jax.device_get(
+                (vals, lk_d, lam_d, _fused_iters))
+            vals_np = np.asarray(vals_np)
         finally:
             # release the caller's log closure even if the dispatch or
             # fetch raises (e.g. a TPU worker crash) — a fit-scoped sink
@@ -461,15 +466,15 @@ def _fit_impl(
                 "Missing eigenvalues prevent obtaining the regularization "
                 "parameter lambda. Check for repeated observations (or "
                 "other perfect linear combinations in X).")
-        lk = int(lk_d)
+        lk = int(lk_h)
         eig = Eigensystem(values_full=vals, vectors=vecs[:, :lk],
                           lastkeeper=lk)
         eig_path = ("eigh-fused(adaptive-fallback)" if adaptive_attempted
                     else "eigh-fused")
-        fused_out = (float(lam_d), Le_f, coeffs_f)
+        fused_out = (float(lam_h), Le_f, coeffs_f)
         if noisy:
             log(f"Lambda: {fused_out[0]:.6g} selected in "
-                f"{int(_fused_iters)} golden-section iterations "
+                f"{int(iters_h)} golden-section iterations "
                 f"(t+{time.time() - t0:.1f}s)")
 
     if eig is None:

@@ -587,8 +587,13 @@ def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
          coeffs_d, spectrum_d, _it) = _adaptive_fused(
             K, y_std, key, k, iters, jnp.asarray(eigtrunc, dt),
             jnp.asarray(tol, dt), extra)
-        vals_np, m_np, lk_dev, L_dev, U_dev = _fetch_replicated(
-            (vals, moments, lk_d, L_d, U_d), mesh)   # ONE round trip
+        # ONE round trip for EVERYTHING the host needs — including λ*
+        # and the LOO loss: a separate float(lam_d) later would be a
+        # second ~25 ms tunnel RTT on a ~80 ms region (measured r05:
+        # 131 → ~90 ms by folding it in here)
+        (vals_np, m_np, lk_dev, L_dev, U_dev, lam_h,
+         Le_h) = _fetch_replicated(
+            (vals, moments, lk_d, L_d, U_d, lam_d, Le_d), mesh)
         vals_np = np.asarray(vals_np, dtype=np.float64)
         if np.any(np.isnan(vals_np)):
             # reference guard (R/bigKRLS_Rcpp_functions.R:8-9)
@@ -641,7 +646,8 @@ def postkernel_adaptive(K, y_std, eigtrunc: float, tol: float,
                    and abs(float(U_dev) - U) <= 1e-5 * max(1.0, abs(U))
                    and int(lk_dev) == lastkeeper)
     if same_bounds:
-        return out, float(lam_d), Le_d, coeffs_d, spectrum_d[:lastkeeper]
+        return out, float(lam_h), float(Le_h), coeffs_d, \
+            spectrum_d[:lastkeeper]
     if noisy:
         log("  adaptive eig: working-precision bounds differ from the "
             "f64 oracle; re-running golden+solve with exact bounds")
