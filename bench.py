@@ -424,14 +424,18 @@ def _cv_secondary(metrics, log):
 _ROOFLINE_TFLOPS = [25.0]   # updated by the measured roofline below
 
 
-def _streaming_roofline(n2, log, metrics=None):
+def _streaming_roofline(n2, log, metrics=None, impls=("xla", "pallas"),
+                        reps=3):
     """Measured (not asserted — VERDICT r03 weak #6) roofline for ONE
-    streaming K@V product at the N=100k shape: achieved TFLOP/s AND
-    achieved HBM GB/s against the chip's peaks, for the production XLA
-    backend (`kernel_matmul`) and the Pallas alternative.  The XLA
-    path's HBM-bytes model: per scan step it pulls X (resident), the V
-    block and the output accumulator; the Pallas model is the grid's
-    BlockSpec traffic."""
+    streaming K@V product: achieved TFLOP/s AND achieved HBM GB/s
+    against the chip's peaks, for the production XLA backend
+    (`kernel_matmul`) and (at the 100k shape) the Pallas alternative.
+    At N=1M a single product is ~1.1 PFLOP (~45 s), so that shape runs
+    the production path once (VERDICT r04 next #3 stretch: the
+    single-product roofline one doubling past the beaten 500k wall).
+    The XLA path's HBM-bytes model: per scan step it pulls X
+    (resident), the V block and the output accumulator; the Pallas
+    model is the grid's BlockSpec traffic."""
     import time as _t
     import jax
     import jax.numpy as jnp
@@ -441,12 +445,12 @@ def _streaming_roofline(n2, log, metrics=None):
     rng = np.random.default_rng(0)
     X2 = jnp.asarray(rng.normal(size=(n2, p2)), jnp.float32)
     V2 = jnp.asarray(rng.normal(size=(n2, m2)), jnp.float32)
+    fns = {"xla": kernel_matmul, "pallas": kernel_matmul_pallas}
     with jax.default_matmul_precision("highest"):
         out = {}
-        for name, fn in (("xla", kernel_matmul),
-                         ("pallas", kernel_matmul_pallas)):
+        for name in impls:
+            fn = fns[name]
             float(jnp.sum(fn(X2, V2, float(p2))))   # compile
-            reps = 3
             t = _t.time()
             for _ in range(reps):
                 Y = fn(X2, V2, float(p2))
@@ -469,9 +473,10 @@ def _streaming_roofline(n2, log, metrics=None):
         f"achieved (~{100 * flops / dt / 49e12:.0f}% of ~49 TFLOP/s "
         f"f32-HIGHEST peak), ≤{hbm_bytes / dt / 1e9:.0f} GB/s HBM "
         f"({100 * hbm_bytes / dt / 819e9:.0f}% of 819 GB/s peak) — "
-        f"MXU-bound at {flops / hbm_bytes:.0f}+ FLOP/byte; the Pallas "
-        f"alternative measures {out['pallas'] * 1e3:.0f} ms "
-        f"(padding waste; ops/matvec.py)")
+        f"MXU-bound at {flops / hbm_bytes:.0f}+ FLOP/byte"
+        + (f"; the Pallas alternative measures "
+           f"{out['pallas'] * 1e3:.0f} ms (padding waste; ops/matvec.py)"
+           if "pallas" in out else ""))
     _ROOFLINE_TFLOPS[0] = flops / dt / 1e12
     if metrics is not None:
         # driver-recorded speed-of-light datum (BASELINE north star):
@@ -528,14 +533,15 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
             rec["value_cold"] = round(cold, 2)
             if warm_reps > 1:
                 rec["value_warm"] = round(warm2, 2)
-            rec["timings"] = {kk: round(vv, 2)
-                              for kk, vv in m2.timings.items()}
+            # model.timings is a list of {"phase": ..., "seconds": ...}
+            phases = {d["phase"]: float(d["seconds"]) for d in m2.timings}
+            rec["timings"] = {kk: round(vv, 2) for kk, vv in phases.items()}
             rate = _ROOFLINE_TFLOPS[0]
             floor_s = f_stream / (rate * 1e12)
             rec["product_floor_s"] = round(floor_s, 1)
             log(f"  phase breakdown: "
                 + ", ".join(f"{kk}={vv:.1f}s"
-                            for kk, vv in m2.timings.items()))
+                            for kk, vv in phases.items()))
             log(f"  product-floor model: ~8 products x 2N^2(P+q) = "
                 f"{f_stream / 1e12:.0f} TFLOP; at the measured "
                 f"{rate:.1f} TFLOP/s product rate the floor is "
@@ -580,6 +586,14 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
             lambda: one(500_000, 20, m500, fast_power=None,
                         note=" (constant-memory, default config)",
                         warm_reps=2, attach_timings=True), metrics, m500)
+    # N=1M single-product roofline: one production K@V at the next
+    # doubling past the 500k wall (~1.1 PFLOP; a full fit would be
+    # ~6-8 min, so the product rate is the recorded datum)
+    if have_budget("N=1M single-product roofline", need_s=240.0):
+        run_with_retry(
+            "roofline-1M",
+            lambda: _streaming_roofline(1_000_000, log, metrics,
+                                        impls=("xla",), reps=1), metrics)
 
 
 if __name__ == "__main__":
