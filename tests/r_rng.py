@@ -133,13 +133,13 @@ class RRNG:
             return 1.0 - 0.5 * _I2_32M1
         return x
 
-    def runif(self, n: int) -> np.ndarray:
+    def runif(self, n: int, a: float = 0.0, b: float = 1.0) -> np.ndarray:
         out = np.empty(n)
         for i in range(n):
             u = self.unif_rand()
             while u <= 0.0 or u >= 1.0:   # mirrors R's rejection loop
                 u = self.unif_rand()
-            out[i] = u
+            out[i] = a + (b - a) * u      # R: a + (b-a)*unif_rand()
         return out
 
     def rnorm(self, n: int) -> np.ndarray:
@@ -175,3 +175,18 @@ def numeric_convergence_data():
 # (numeric_convergence.md:34-42; identical between KRLS and bigKRLS)
 PUBLISHED_AVGDERIVATIVES = np.array(
     [0.2286663, 0.1150259, 0.006574909, 0.09488611, 0.3828897, 0.7653918])
+
+
+def sinfx_data():
+    """The EXACT dataset of the reference's sinfx demo
+    (``examples/sinfx.md:7-15``)::
+
+        N <- 2000; P <- 2; set.seed(11112016)
+        X <- matrix(runif(N * P, -2*pi, 2*pi), ncol = P)
+        y <- sin(X[,1]) + X[,2] + rnorm(N)
+    """
+    r = RRNG(11112016)
+    n, p = 2000, 2
+    X = r.runif(n * p, -2 * np.pi, 2 * np.pi).reshape((n, p), order="F")
+    y = np.sin(X[:, 0]) + X[:, 1] + r.rnorm(n)
+    return y, X
