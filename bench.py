@@ -539,14 +539,25 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
             rate = _ROOFLINE_TFLOPS[0]
             floor_s = f_stream / (rate * 1e12)
             rec["product_floor_s"] = round(floor_s, 1)
+            # the floor prices every product at the measured f32-HIGHEST
+            # roofline rate; the default flow at this scale runs its
+            # POWER products with reduced-precision accumulation
+            # (fast_eig_power auto-on in constant-memory mode, ~2x that
+            # rate), so a ratio below 1 means the fast products beat the
+            # full-precision rate — it does not invalidate the model
+            rec["floor_note"] = ("floor at the f32-HIGHEST product rate; "
+                                 "power products run fast-accum (~2x), "
+                                 "so <1x is expected")
             log(f"  phase breakdown: "
                 + ", ".join(f"{kk}={vv:.1f}s"
                             for kk, vv in phases.items()))
             log(f"  product-floor model: ~8 products x 2N^2(P+q) = "
                 f"{f_stream / 1e12:.0f} TFLOP; at the measured "
-                f"{rate:.1f} TFLOP/s product rate the floor is "
-                f"~{floor_s:.0f}s -> fit runs at "
-                f"{min(cold, warm2) / floor_s:.2f}x the floor")
+                f"{rate:.1f} TFLOP/s f32-HIGHEST product rate the floor "
+                f"is ~{floor_s:.0f}s -> fit runs at "
+                f"{min(cold, warm2) / floor_s:.2f}x that (power products "
+                f"use fast accumulation, ~2x the rate, so <1x is "
+                f"expected)")
         metrics.append(rec)
 
     # order: 50k (the r02 headline), then 100k (the new scale headline),
