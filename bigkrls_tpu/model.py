@@ -532,7 +532,29 @@ def _fit_impl(
         Le, coeffs = fused_out[1], fused_out[2]
     else:
         Le, coeffs = solve_for_c(eig, y_std, lambda_)
-    if streaming:
+    if derivative:
+        cols = (which_derivatives if which_derivatives is not None
+                else list(range(p)))
+        X_est = X_std[:, cols]
+        bmask = jnp.asarray(x_is_binary[cols])
+        # standardized per-column min/max for the binary toggles
+        z0 = jnp.min(X_est, axis=0)
+        z1 = jnp.max(X_est, axis=0)
+    dres = None
+    if streaming and derivative:
+        # FUSION (r05): on the kernel-free path every K product pays a
+        # full tile-wise kernel reconstruction, and the derivatives'
+        # multi-RHS stack already carries c as its first column — so ŷ
+        # falls out of the SAME product and the separate ŷ pass
+        # (~8.5 s of the 59 s N=500k fit) disappears.  The AME
+        # variances come back computed with the UNSCALED filter
+        # 1/(λ+λ*)² (σ̂² needs ŷ); the σ̂² scalar is applied below.
+        filt = 1.0 / (eig.values + lambda_) ** 2
+        dres = derivatives_streaming(X_std, tuple(cols), coeffs,
+                                     eig.vectors, filt, sigma,
+                                     bmask, z0, z1, matmul=km)
+        yfitted_std = dres.yfitted_std
+    elif streaming:
         yfitted_std = km(X_std, coeffs[:, None], sigma)[:, 0]
     else:
         yfitted_std = K @ coeffs
@@ -557,21 +579,16 @@ def _fit_impl(
     if derivative:
         if noisy:
             log(f"Step 5/5: Marginal effects (t+{time.time() - t0:.1f}s)")
-        cols = which_derivatives if which_derivatives is not None else list(range(p))
-        X_est = X_std[:, cols]
-        bmask = jnp.asarray(x_is_binary[cols])
-        # standardized per-column min/max for the binary toggles
-        z0 = jnp.min(X_est, axis=0)
-        z1 = jnp.max(X_est, axis=0)
-        if streaming:
-            dres = derivatives_streaming(X_std, tuple(cols), coeffs,
-                                         eig.vectors, spectrum, sigma,
-                                         bmask, z0, z1, matmul=km)
+        if dres is not None:
+            # fused streaming product (computed in step 4, above): only
+            # the deferred σ̂² scale on the variances remains
+            deriv_std = dres.derivatives
+            varavg_std = sigmasq * dres.var_avgderiv
         else:
             dres = derivatives_all(X_est, K, coeffs, eig.vectors, spectrum,
                                    sigma, bmask, z0, z1)
-        deriv_std = dres.derivatives
-        varavg_std = dres.var_avgderiv
+            deriv_std = dres.derivatives
+            varavg_std = dres.var_avgderiv
         if mesh is not None:
             from .parallel.sharded import shard_info
             _deriv_shard_info = shard_info(deriv_std)

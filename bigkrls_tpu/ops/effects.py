@@ -74,6 +74,15 @@ import jax.numpy as jnp
 class DerivativesResult(NamedTuple):
     derivatives: jax.Array       # (N, P_est) standardized units
     var_avgderiv: jax.Array      # (P_est,) standardized units
+    # K @ coeffs — the fitted values in standardized units.  The RHS
+    # stack's first column is c, so ŷ falls out of the SAME kernel
+    # product; on the streaming path consuming it saves a whole
+    # separate kernel-construction pass (~8.5 s of the 59 s N=500k
+    # fit).  The variance columns may be computed with an UNSCALED
+    # spectral filter (1/(λ+λ*)² without σ̂²) precisely so this fusion
+    # is legal — σ̂² needs ŷ, and it enters var_avgderiv as a scalar
+    # factor the caller applies afterwards.
+    yfitted_std: jax.Array
 
 
 def _binary_geometry(X_std, binary_mask, z0, z1):
@@ -132,7 +141,7 @@ def _from_products(Y, X_std, coeffs, Q, spectrum, sigma, binary_mask,
 
     derivatives = jnp.where(binary_mask[None, :], deriv_bin, deriv_cont)
     var_avg = jnp.where(binary_mask, var_bin, var_cont)
-    return DerivativesResult(derivatives, var_avg)
+    return DerivativesResult(derivatives, var_avg, Kc)
 
 
 @jax.jit
