@@ -602,7 +602,13 @@ def _fit_impl(
         X_est_np = ((X_np - np.asarray(x_means, np.float64))
                     / x_init_sds)[:, cols]
         yhat_ame = X_est_np @ deriv_std_np.mean(axis=0)
-        R2AME = float(np.corrcoef(y_np, yhat_ame)[0, 1] ** 2)
+        if yhat_ame.std() > 0:
+            R2AME = float(np.corrcoef(y_np, yhat_ame)[0, 1] ** 2)
+        else:
+            # degenerate AME predictor (e.g. which_derivatives=[]):
+            # the correlation is undefined — record NaN explicitly
+            # instead of letting numpy warn its way to the same answer
+            R2AME = float("nan")
 
         # rescale to original units (ref :394-407)
         sd_ratio = y_init_sd / x_init_sds[cols]
