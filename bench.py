@@ -598,13 +598,26 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
                         note=" (constant-memory, default config)",
                         warm_reps=2, attach_timings=True), metrics, m500)
     # N=1M single-product roofline: one production K@V at the next
-    # doubling past the 500k wall (~1.1 PFLOP; a full fit would be
-    # ~6-8 min, so the product rate is the recorded datum)
+    # doubling past the 500k wall (~1.1 PFLOP; the recorded rate datum)
     if have_budget("N=1M single-product roofline", need_s=240.0):
         run_with_retry(
             "roofline-1M",
             lambda: _streaming_roofline(1_000_000, log, metrics,
                                         impls=("xla",), reps=1), metrics)
+    # N=1M FULL fit (marginal effects included): measured 189 s warm /
+    # 282 s cold on one v5e chip (builder r05) — 67x past the
+    # reference's N≈15k envelope.  Single run, gated on a generous
+    # budget remainder (usually only present when BENCH_BUDGET_S is
+    # raised); skipping leaves an explicit record as always.
+    m1m = "krls_streaming_fullfit_n1000000_p20_s"
+    if have_budget("N=1M streaming full fit", need_s=400.0,
+                   metric_name=m1m):
+        run_with_retry(
+            "N=1M secondary",
+            lambda: one(1_000_000, 20, m1m, fast_power=None,
+                        note=" (constant-memory, default config, "
+                        "single run)", warm_reps=1,
+                        attach_timings=True), metrics, m1m)
 
 
 if __name__ == "__main__":
