@@ -133,6 +133,36 @@ def test_streaming_fit_matches_dense_fit(rng):
     assert abs(m_dense.R2 - m_stream.R2) < 1e-8
 
 
+def test_streaming_yfitted_rides_derivatives_product(rng, monkeypatch):
+    """r05 fusion pin: on the kernel-free path ŷ must come out of the
+    derivatives' multi-RHS product (its first RHS column is c), never
+    from a separate width-1 K@c pass — each product pays a full
+    tile-wise kernel reconstruction, so the extra pass was ~8.5 s of
+    the 59 s N=500k fit.  Counted here by wrapping the product backend:
+    no call may carry a width-1 right-hand side when derivatives are
+    on (the width-1 pass is still correct — and expected — when
+    derivative=False)."""
+    import bigkrls_tpu.model as model_mod
+    y, X = _xy(rng)
+    widths = []
+    real = kernel_matmul
+
+    def counting(Xa, V, sigma, **kw):
+        widths.append(int(V.shape[1]))
+        return real(Xa, V, sigma, **kw)
+
+    monkeypatch.setattr(model_mod, "kernel_matmul", counting)
+    m = bk.fit(y, X, neig=40, streaming=True, noisy=False)
+    assert m.K is None and widths, widths
+    assert 1 not in widths, widths          # ŷ fused, no solo K@c pass
+
+    widths.clear()
+    m2 = bk.fit(y, X, neig=40, streaming=True, noisy=False,
+                derivative=False, vcov_est=False)
+    assert widths and widths.count(1) == 1, widths   # only ŷ itself
+    assert np.max(np.abs(m.yfitted - m2.yfitted)) < 1e-8
+
+
 def test_streaming_fit_predict_save_load(tmp_path, rng):
     y, X = _xy(rng, n=80)
     m = bk.fit(y, X, neig=30, streaming=True, noisy=False)
