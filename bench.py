@@ -286,9 +286,11 @@ def main():
 
     # ---- secondary: the reference's "Estimating Fewer" protocol ----
     def postkernel_fit_neig50(K, method):
+        # the library's stepwise path: eig dispatch, then golden search
+        # + solve as ONE fused dispatch (lambda_search_solve, r05)
+        from bigkrls_tpu.lambda_search import lambda_search_solve
         eig = eigensystem(K, neig=50, eigtrunc=0.01, method=method)
-        lam = lambda_search(eig, yd, noisy=False)
-        Le, c = solve_for_c(eig, yd, lam)
+        lam, Le, c = lambda_search_solve(eig, yd)
         jax.block_until_ready(c)
         return eig, lam, c
 

@@ -142,6 +142,39 @@ def _golden_search_device(vectors, values, Qty, Q2, L, U, tol):
     return jnp.where(S1 < S2, X1, X2), it
 
 
+def lambda_search_solve(
+    eig: Eigensystem,
+    y_std,
+    L: Optional[float] = None,
+    U: Optional[float] = None,
+    tol: Optional[float] = None,
+):
+    """Bound heuristics (host, exact — same code as :func:`lambda_search`)
+    + golden-section search + the final spectral solve as ONE device
+    dispatch, via the proven ``ops.adaptive._golden_solve`` program
+    (identical control flow to ``_golden_search_device`` followed by
+    ``solve_for_c``; equality pinned by the fused/adaptive tests).
+    Returns ``(lam, Le, coeffs)`` with ``Le``/``coeffs`` still on
+    device.  The stepwise fit uses this when it is not logging per-
+    iteration brackets — one dispatch + one λ fetch instead of
+    search-dispatch → λ fetch → solve-dispatch (r05 fetch discipline;
+    noisy fits keep the host loop for reference-formatted logs)."""
+    n = int(y_std.shape[0])
+    values_full = np.asarray(eig.values_full, dtype=np.float64)
+    if tol is None:
+        tol = 1e-3 * n
+    if U is None:
+        U = _upper_bound(values_full, n)
+    if L is None:
+        L = _lower_bound(values_full)
+    from .ops.adaptive import _golden_solve
+    dt = y_std.dtype
+    lam, Le, coeffs, _ = _golden_solve(
+        eig.vectors, eig.values, y_std, jnp.asarray(float(L), dt),
+        jnp.asarray(float(U), dt), jnp.asarray(float(tol), dt))
+    return float(lam), Le, coeffs
+
+
 def lambda_search(
     eig: Eigensystem,
     y_std,

@@ -507,9 +507,17 @@ def _fit_impl(
         lambda_ = fused_out[0]
     if lambda_ is None:
         if noisy:
+            # host loop: reference-formatted per-iteration bracket logs
             log(f"Step 3/5: Golden search for lambda (t+{time.time() - t0:.1f}s)")
-        lambda_ = lambda_search(eig, y_std, L=L, U=U, tol=tol,
-                                noisy=noisy, log=log)
+            lambda_ = lambda_search(eig, y_std, L=L, U=U, tol=tol,
+                                    noisy=noisy, log=log)
+        else:
+            # one dispatch for search + solve (r05 fetch discipline);
+            # the solve rides along, so step 4 reuses it via fused_out
+            from .lambda_search import lambda_search_solve
+            lambda_, Le_s, coeffs_s = lambda_search_solve(
+                eig, y_std, L=L, U=U, tol=tol)
+            fused_out = (lambda_, Le_s, coeffs_s)
     elif noisy and fused_out is None:
         log("Skipping step 3/5, proceeding with user-inputted lambda.")
 
