@@ -162,6 +162,52 @@ def save_adaptive(ckpt_dir: str, fp: str, out, sol_fp: Optional[str] = None,
     os.replace(tmp_p, meta_p)
 
 
+def update_adaptive_solution(ckpt_dir: str, fp: str, sol_fp: str,
+                             lam: float, Le, coeffs) -> None:
+    """Refresh ONLY the stored solution of an existing adaptive
+    checkpoint (after a (y, tol)-fingerprint-miss resume) — the
+    eigenvectors are untouched, so a changed-y refit does not pay
+    hundreds of MB of redundant I/O, and the expensive Krylov/moment
+    checkpoint is never transiently destroyed (code-review r05).
+
+    Crash-safe sequence: (1) atomically rewrite meta WITHOUT the
+    solution keys — the eig prefix stays resumable, the stale solution
+    can no longer pair with the new arrays; (2) atomically rewrite the
+    small npz with the new coefficients; (3) atomically write the full
+    meta with the new solution fingerprint.  A crash anywhere loses at
+    worst the stored solution, never the prefix."""
+    if jax.process_index() != 0:
+        return
+    meta_p, vals_p, _, _ = _adaptive_paths(ckpt_dir)
+    if not os.path.exists(meta_p):
+        return
+    try:
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        if meta.get("fingerprint") != fp:
+            return
+        with np.load(vals_p) as data:
+            arrays = {k: data[k] for k in data.files if k != "coeffs"}
+    except Exception:
+        return
+    for key in ("sol_fp", "lam", "Le"):
+        meta.pop(key, None)
+
+    def _write_meta():
+        tmp = meta_p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_p)
+
+    _write_meta()                                   # (1) invalidate solution
+    arrays["coeffs"] = np.asarray(coeffs, dtype=np.float64)
+    tmp_npz = vals_p + ".tmp.npz"
+    np.savez(tmp_npz, **arrays)
+    os.replace(tmp_npz, vals_p)                     # (2) new arrays, atomic
+    meta.update({"sol_fp": sol_fp, "lam": float(lam), "Le": float(Le)})
+    _write_meta()                                   # (3) re-arm solution
+
+
 def load_adaptive(ckpt_dir: str, fp: str, dtype,
                   sol_fp: Optional[str] = None):
     """Load a checkpointed adaptive eigensystem; returns

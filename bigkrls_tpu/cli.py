@@ -101,7 +101,13 @@ def _parse_mesh(spec: str):
     if spec == "all":
         return make_mesh()
     if "x" in spec:
-        shape = tuple(int(v) for v in spec.split("x"))
+        parts = spec.split("x")
+        if len(parts) != 2 or not all(p.isdigit() and int(p) > 0
+                                      for p in parts):
+            raise SystemExit(
+                f"--mesh {spec!r}: expected 'all', a device count "
+                "('4'), or a 2-D RxC shape ('2x4')")
+        shape = (int(parts[0]), int(parts[1]))
         ndev = len(jax.devices())
         if shape[0] * shape[1] > ndev:
             raise SystemExit(
@@ -109,6 +115,10 @@ def _parse_mesh(spec: str):
                 f"only {ndev} visible")
         return make_mesh(shape=shape,
                          devices=jax.devices()[:shape[0] * shape[1]])
+    if not spec.isdigit() or int(spec) < 1:
+        raise SystemExit(
+            f"--mesh {spec!r}: expected 'all', a device count ('4'), "
+            "or a 2-D RxC shape ('2x4')")
     ndev = int(spec)
     if ndev > len(jax.devices()):
         raise SystemExit(

@@ -154,6 +154,11 @@ def crossvalidate(
     kfolds = int(kfolds)
     if kfolds <= 0:
         raise ValueError("kfolds must be a positive integer")
+    if not (2 <= kfolds <= N):
+        # K=1 trains on nothing; K>N makes empty folds (and would let
+        # equalize_folds hold out every row — code-review r05)
+        raise ValueError(
+            f"kfolds must be between 2 and N={N} (got {kfolds})")
     remainder = N % kfolds
     if equalize_folds is None:
         equalize_folds = N >= 16384   # auto: compile cost dominates here

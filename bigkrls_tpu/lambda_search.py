@@ -142,6 +142,22 @@ def _golden_search_device(vectors, values, Qty, Q2, L, U, tol):
     return jnp.where(S1 < S2, X1, X2), it
 
 
+def _resolve_bounds(eig: Eigensystem, n: int, L, U, tol):
+    """Shared bound/tolerance defaulting for BOTH stepwise λ paths —
+    the heuristics are parity-critical (CLAUDE.md), so they exist in
+    exactly one place (code-review r05).  Returns ``(L, U, tol)`` as
+    floats, bounds computed over the FULL value list like the
+    reference."""
+    values_full = np.asarray(eig.values_full, dtype=np.float64)
+    if tol is None:
+        tol = 1e-3 * n
+    if U is None:
+        U = _upper_bound(values_full, n)
+    if L is None:
+        L = _lower_bound(values_full)
+    return float(L), float(U), float(tol)
+
+
 def lambda_search_solve(
     eig: Eigensystem,
     y_std,
@@ -159,19 +175,12 @@ def lambda_search_solve(
     iteration brackets — one dispatch + one λ fetch instead of
     search-dispatch → λ fetch → solve-dispatch (r05 fetch discipline;
     noisy fits keep the host loop for reference-formatted logs)."""
-    n = int(y_std.shape[0])
-    values_full = np.asarray(eig.values_full, dtype=np.float64)
-    if tol is None:
-        tol = 1e-3 * n
-    if U is None:
-        U = _upper_bound(values_full, n)
-    if L is None:
-        L = _lower_bound(values_full)
+    L, U, tol = _resolve_bounds(eig, int(y_std.shape[0]), L, U, tol)
     from .ops.adaptive import _golden_solve
     dt = y_std.dtype
     lam, Le, coeffs, _ = _golden_solve(
-        eig.vectors, eig.values, y_std, jnp.asarray(float(L), dt),
-        jnp.asarray(float(U), dt), jnp.asarray(float(tol), dt))
+        eig.vectors, eig.values, y_std, jnp.asarray(L, dt),
+        jnp.asarray(U, dt), jnp.asarray(tol, dt))
     return float(lam), Le, coeffs
 
 
@@ -193,15 +202,7 @@ def lambda_search(
     truncated system, as in ``BigSolveForc``.
     """
     n = int(y_std.shape[0])
-    values_full = np.asarray(eig.values_full, dtype=np.float64)
-    if tol is None:
-        tol = 1e-3 * n
-    if U is None:
-        U = _upper_bound(values_full, n)
-    if L is None:
-        L = _lower_bound(values_full)
-    U = float(U)
-    L = float(L)
+    L, U, tol = _resolve_bounds(eig, n, L, U, tol)
 
     Qty, Q2 = solve_precompute(eig.vectors, y_std)
     vals_trunc = eig.values

@@ -366,13 +366,15 @@ def _fit_impl(
                     from .ops.adaptive import resume_adaptive
                     fused_out = resume_adaptive(
                         adaptive_out, y_std, tol)
-                    # refresh the stored solution under the NEW (y, tol)
-                    # fingerprint, so the next refit on these inputs hits
-                    # the zero-device-work fast path that save_adaptive's
-                    # docstring promises (ADVICE r04)
-                    ckpt.save_adaptive(
-                        checkpoint_dir, ckpt_fp, adaptive_out,
-                        sol_fp=sol_fp, lam=fused_out[0], Le=fused_out[1],
+                    # refresh ONLY the stored solution under the NEW
+                    # (y, tol) fingerprint, so the next refit on these
+                    # inputs hits the zero-device-work fast path
+                    # (ADVICE r04); the eigenvector payload is not
+                    # rewritten and the checkpoint is never transiently
+                    # invalid (code-review r05)
+                    ckpt.update_adaptive_solution(
+                        checkpoint_dir, ckpt_fp, sol_fp,
+                        lam=fused_out[0], Le=fused_out[1],
                         coeffs=host_gather(fused_out[2]))
         if eig is None:
             eig = ckpt.load_eig(checkpoint_dir, ckpt_fp, dtype)
@@ -567,7 +569,15 @@ def _fit_impl(
     else:
         yfitted_std = K @ coeffs
     resid = y_std - yfitted_std
-    sigmasq = float(jnp.sum(resid * resid) / n)   # ref :294 (standardized units)
+    sigmasq = jnp.sum(resid * resid) / n   # ref :294 (standardized units)
+    if dres is None:
+        # host sync here: ŷ came from its own product, whose cost
+        # belongs to this phase.  On the FUSED streaming path the sync
+        # is deferred to step 5's fetch instead — a float() here would
+        # drag the whole derivatives product into the "coefficients"
+        # phase mark and misattribute the dominant kernel product in
+        # model.timings (code-review r05).
+        sigmasq = float(sigmasq)
 
     vcov_c_fac = None
     if vcov_est:
@@ -592,6 +602,7 @@ def _fit_impl(
             # the deferred σ̂² scale on the variances remains
             deriv_std = dres.derivatives
             varavg_std = sigmasq * dres.var_avgderiv
+            sigmasq = float(sigmasq)   # sync lands in THIS phase
         else:
             dres = derivatives_all(X_est, K, coeffs, eig.vectors, spectrum,
                                    sigma, bmask, z0, z1)

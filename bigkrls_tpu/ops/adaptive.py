@@ -515,6 +515,14 @@ def _adaptive_fused(K, y_std, key, k: int, iters: int, eigtrunc, tol,
             lam, Le, coeffs, spectrum, it)
 
 
+@functools.lru_cache(maxsize=8)
+def _replicator(rep):
+    """One jitted identity per target sharding — a fresh ``jax.jit``
+    per call would never hit the trace cache and recompile the reshard
+    program on every fetch (code-review r05)."""
+    return jax.jit(lambda *ys: ys, out_shardings=rep)
+
+
 def _fetch_replicated(xs, mesh=None):
     """``device_get`` that is safe on multi-process meshes (ADVICE r04):
     if GSPMD left any of the small fused-program outputs sharded across
@@ -525,8 +533,7 @@ def _fetch_replicated(xs, mesh=None):
             isinstance(x, jax.Array) and not x.is_fully_addressable
             and not x.sharding.is_fully_replicated for x in xs):
         from jax.sharding import NamedSharding, PartitionSpec
-        rep = NamedSharding(mesh, PartitionSpec())
-        xs = jax.jit(lambda *ys: ys, out_shardings=rep)(*xs)
+        xs = _replicator(NamedSharding(mesh, PartitionSpec()))(*xs)
     return jax.device_get(xs)
 
 

@@ -63,8 +63,18 @@ def test_checkpoint_adaptive_resume_bit_exact(tmp_path):
     # re-runs only golden+solve: still "checkpoint", fresh-fit parity
     y2 = np.asarray(np.cos(X[:, 0]) + 0.5 * X[:, 2]
                     + 0.2 * rng.normal(size=n))
+    vec_files = [os.path.join(d, f) for f in
+                 ("adaptive_vectors.bin", "adaptive_vectors.npy")
+                 if os.path.exists(os.path.join(d, f))]
+    vec_stamp = [(f, os.path.getmtime(f), os.path.getsize(f))
+                 for f in vec_files]
     m4 = bk.fit(y2, X, noisy=False, eigtrunc=0.001, derivative=False,
                 checkpoint_dir=d)
+    # the solution refresh must NOT rewrite the eigenvector payload
+    # (code-review r05: a changed-y refit must not pay the vectors'
+    # disk I/O nor transiently destroy the checkpoint)
+    assert vec_stamp == [(f, os.path.getmtime(f), os.path.getsize(f))
+                        for f in vec_files]
     assert m4.eig_path == "checkpoint"
     m4f = bk.fit(y2, X, noisy=False, eigtrunc=0.001, derivative=False)
     assert m4.lambda_ == pytest.approx(m4f.lambda_, rel=1e-9)
