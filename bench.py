@@ -156,12 +156,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from bigkrls_tpu.lambda_search import lambda_search
     from bigkrls_tpu.ops.adaptive import postkernel_adaptive
     from bigkrls_tpu.ops.eig import eigensystem
     from bigkrls_tpu.ops.fused import postkernel_device
     from bigkrls_tpu.ops.kernels import gauss_kernel, gauss_kernel_pallas
-    from bigkrls_tpu.ops.solve import solve_for_c
     from bigkrls_tpu.types import Eigensystem
 
     backend = jax.default_backend()
