@@ -33,8 +33,9 @@ METRIC DEFINITIONS (and their history, per ADVICE r02):
   ``krls_streaming_fullfit_n500000_p20_s`` — kernel-free streaming full
   fits at N beyond the reference's single-node envelope (N≈10–15k,
   ``README.md:69``); no reference baseline exists.  The 500k metric
-  runs the library DEFAULT config (constant-memory + auto fast power),
-  single run.
+  (and r05's budget-gated ``..._n1000000_...``) runs the library
+  DEFAULT config (constant-memory + auto fast power) and reports the
+  warm steady-state run with its per-phase breakdown attached.
 * ``streaming_product_n100000_tflops`` (r04) — achieved TFLOP/s of one
   production streaming K@V product (the roofline datum; the full
   roofline analysis incl. HBM GB/s prints to stderr).
