@@ -608,13 +608,15 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
             "roofline-1M",
             lambda: _streaming_roofline(1_000_000, log, metrics,
                                         impls=("xla",), reps=1), metrics)
-    # N=1M FULL fit (marginal effects included): measured 189 s warm /
-    # 282 s cold on one v5e chip (builder r05) — 67x past the
-    # reference's N≈15k envelope.  Single run, gated on a generous
-    # budget remainder (usually only present when BENCH_BUDGET_S is
-    # raised); skipping leaves an explicit record as always.
+    # N=1M FULL fit (marginal effects included): measured 189-213 s on
+    # one v5e chip (builder r05) — 67x past the reference's N≈15k
+    # envelope — but a remote-worker stall once stretched a single run
+    # to 667 s, so the gate demands that much remainder: the metric
+    # only runs when even the worst observed case cannot overrun the
+    # budget (skipping leaves an explicit record as always; raise
+    # BENCH_BUDGET_S to force it).
     m1m = "krls_streaming_fullfit_n1000000_p20_s"
-    if have_budget("N=1M streaming full fit", need_s=400.0,
+    if have_budget("N=1M streaming full fit", need_s=700.0,
                    metric_name=m1m):
         run_with_retry(
             "N=1M secondary",
