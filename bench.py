@@ -517,13 +517,18 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
             warm2 = min(warm2, _t.time() - t)
         if warm2 is np.inf:      # warm_reps == 1: report the single run
             warm2 = cold
-        # streaming matmul model: (depth 6 at f32) + init + Ritz
-        # products, each 2N^2(P+q) with q=540 at neig=500
-        f_stream = 8.0 * 2.0 * n2 ** 2 * (p2 + 540)
+        # streaming product model, each product 2N^2(P+q), q=540 at
+        # neig=500: the KB-reusing block-Krylov flow (50k/100k) runs
+        # depth-6 + init + Ritz products (~8); the constant-memory
+        # Chebyshev flow (auto at the 500k/1M shapes) runs 4 filter +
+        # 1 Ritz products (r05: the Chebyshev filter matches plain
+        # depth-6 accuracy with 2 fewer products, ops/eig.py)
+        nprod = 8.0 if n2 < 200_000 else 5.0
+        f_stream = nprod * 2.0 * n2 ** 2 * (p2 + 540)
         log(f"N={n2 // 1000}k streaming full fit{note}: cold {cold:.1f}s, "
             f"warm {warm2:.2f}s (R2={m2.R2:.3f}) "
             f"[eig-phase ~{f_stream / warm2 / 1e12:.1f} TFLOP/s upper "
-            f"bound @ 16N^2(P+q)] — beyond the reference's memory "
+            f"bound @ {nprod:.0f}x2N^2(P+q)] — beyond the reference's memory "
             f"envelope entirely")
         # value = the steady-state (warm) time, so the attached per-phase
         # breakdown (from the warm fit) describes the same run the
@@ -555,7 +560,7 @@ def _streaming_secondaries(metrics, have_budget, log, run_with_retry):
             log(f"  phase breakdown: "
                 + ", ".join(f"{kk}={vv:.1f}s"
                             for kk, vv in phases.items()))
-            log(f"  product-floor model: ~8 products x 2N^2(P+q) = "
+            log(f"  product-floor model: ~{nprod:.0f} products x 2N^2(P+q) = "
                 f"{f_stream / 1e12:.0f} TFLOP; at the measured "
                 f"{rate:.1f} TFLOP/s f32-HIGHEST product rate the floor "
                 f"is ~{floor_s:.0f}s -> fit runs at "

@@ -246,21 +246,106 @@ def _subspace_init(X, key, q: int):
     return _block_orth(V)
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "matmul"))
-def _power_chunk(X, V, sigma, steps: int, matmul):
-    """``steps`` plain (constant-memory) power iterations; the
-    ``krylov=False`` fallback of :func:`eigensystem_streaming`."""
-    for _ in range(steps):               # static: unrolled under jit
-        W = matmul(X, V, sigma)
-        V = _block_orth(W)               # per-block conditioning
-    return V
+def _cheb_degrees(nprod: int):
+    """Split a product budget into Chebyshev application degrees.
+
+    First application degree 2 (its cutoff comes from a *random*
+    subspace's Ritz values, so a short filter limits the damage of a
+    weak cutoff), then degree-3 applications while budget lasts — the
+    longer filters run once the Gram Ritz values have sharpened the
+    cutoff.  Degree-1 remainder is a shifted power step."""
+    degrees = []
+    budget = int(nprod)
+    first = True
+    while budget > 0:
+        d = min(2 if first else 3, budget)
+        degrees.append(d)
+        budget -= d
+        first = False
+    return degrees
+
+
+def _block_scale(U):
+    """Scalar scale of a recurrence block (max-abs: overflow-proof at
+    f32 even when the filter has amplified the block by ~1e8)."""
+    return jnp.maximum(jnp.max(jnp.abs(U)), jnp.asarray(1e-30, U.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("matmul",))
+def _cheb_app_start(X, V, c_prev, sigma, matmul):
+    """First product of a Chebyshev application: ``W = K·V`` plus the
+    FREE cutoff update — the q×q Gram ``VᵀW`` is the Rayleigh quotient
+    of the current orthonormal block, and its smallest eigenvalue
+    θ_min ≤ λ_q (Cauchy interlacing), so ``c = max(c_prev, θ_min)`` can
+    never damp a wanted direction (λ_neig > λ_q ≥ θ_min).  The Gram +
+    its q×q eigh cost ~2Nq² + O(q³) FLOPs — noise next to the 2N²(P+q)
+    product.  Returns the first two (scalar-rescaled) recurrence blocks
+    ``T₀(K̃)V = V`` and ``T₁(K̃)V`` for ``K̃ = (2K − cI)/c`` (the affine
+    map sending the damped interval [0, c] to [−1, 1]; the kernel is
+    PSD so the spectrum has no meaningful mass below 0)."""
+    W = matmul(X, V, sigma)
+    S = jnp.matmul(V.T, W, precision=jax.lax.Precision.HIGHEST)
+    S = 0.5 * (S + S.T)
+    theta = jnp.linalg.eigvalsh(S)             # ascending
+    c = jnp.maximum(jnp.maximum(c_prev, theta[0]), 1e-6 * theta[-1])
+    Y = (2.0 / c) * W - V
+    tau = _block_scale(Y)
+    return V, Y / tau, 1.0 / tau, c
+
+
+@functools.partial(jax.jit, static_argnames=("matmul",))
+def _cheb_step(X, Yp, Yc, r, c, sigma, matmul):
+    """One Chebyshev three-term recurrence step (one K@V product):
+    ``Y_{j+1} = 2·K̃·Y_j − Y_{j−1}`` with K̃ as in
+    :func:`_cheb_app_start`, carried in scalar-rescaled form (blocks are
+    kept near unit scale; ``r`` is the previous block's relative scale)
+    so degree-3 filters cannot overflow f32 even at λ₁/c ~ 1e8.  Scalar
+    rescaling leaves the final block's column span — the only thing
+    Rayleigh–Ritz consumes — exactly the Chebyshev-filtered subspace.
+
+    Generic fallback for backends without an epilogue hook (ring,
+    Pallas, test doubles); the production XLA path uses
+    :func:`_cheb_step_fused`, whose memory footprint matters at N=1M."""
+    Z = matmul(X, Yc, sigma)
+    U = (4.0 / c) * Z - 2.0 * Yc - r * Yp
+    tau = _block_scale(U)
+    return Yc, U / tau, 1.0 / tau
+
+
+@functools.partial(jax.jit, static_argnames=("matmul",),
+                   donate_argnums=(1,))
+def _cheb_step_fused(X, Yp, Yc, r, c, sigma, matmul):
+    """:func:`_cheb_step` with the recurrence epilogue folded into the
+    product's accumulator: ``U = (K@Yc + init)·(4/c)`` with
+    ``init = −(c/4)(2Yc + rYp)`` as the scan's initial carry — no
+    separate Z or U block ever materializes, and ``Yp`` is donated so
+    ``init`` can reuse its buffer.  This keeps the step at the plain
+    power iteration's HBM footprint; the separate product-then-combine
+    formulation RESOURCE_EXHAUSTED a 16 GB chip at N=1M (2.2 GB
+    blocks: Yp + Yc + Z + U + the kernel tile)."""
+    init = (-(c / 4.0)) * (2.0 * Yc + r * Yp)
+    U = matmul(X, Yc, sigma, init=init, out_scale=4.0 / c)
+    tau = _block_scale(U)
+    return Yc, U / tau, 1.0 / tau
+
+
+def _epilogue_capable(matmul) -> bool:
+    """True when ``matmul`` is the XLA streaming product (possibly a
+    functools.partial of it, e.g. ``kernel_matmul_fast``) and therefore
+    accepts the fused ``init``/``out_scale`` epilogue."""
+    from .matvec import kernel_matmul
+    f = matmul
+    while isinstance(f, functools.partial):
+        f = f.func
+    return f is kernel_matmul
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "matmul"))
 def _power_chunk_blocks(X, V, sigma, steps: int, matmul):
-    """Like :func:`_power_chunk` but returns every intermediate block
-    (stacked column-wise) — the small-n streaming flow, whose caller runs
-    one fat reduced QR over the stacked basis (``_krylov_geometry``)."""
+    """``steps`` plain power iterations returning every intermediate
+    block (stacked column-wise) — the small-n streaming flow, whose
+    caller runs one fat reduced QR over the stacked basis
+    (``_krylov_geometry``)."""
     blocks = []
     for _ in range(steps):               # static: unrolled under jit
         W = matmul(X, V, sigma)
@@ -364,8 +449,9 @@ def _auto_krylov(n: int, q: int, iters: int, itemsize: int,
         logging.getLogger("bigkrls_tpu").warning(
             "eigensystem_streaming: block-Krylov basis would need "
             "%.1f GB (> %d%% of %.1f GB device memory); using the "
-            "constant-memory power iteration instead — raise `iters` "
-            "if trailing-eigenvalue accuracy matters at this scale",
+            "constant-memory Chebyshev subspace iteration instead — "
+            "raise `iters` if trailing-eigenvalue accuracy matters at "
+            "this scale",
             basis_bytes / 1024 ** 3, int(fraction * 100),
             budget / 1024 ** 3)
     return ok
@@ -426,7 +512,15 @@ def eigensystem_streaming(
     O(N·q·d) for the basis (plus the same again for the recorded K·B
     when the power products run at full precision — they are then reused
     for Rayleigh–Ritz, saving a second full-width kernel pass);
-    ``krylov=False`` restores the constant-memory power iteration.
+    ``krylov=False`` forces the constant-memory flow: CHEBYSHEV-filtered
+    subspace iteration (three-term recurrence between orthonormalization
+    points; cutoff from the free per-application Gram Ritz values —
+    interlacing keeps it below λ_q, so wanted directions are never
+    damped).  Its filter quality per product is strictly better than
+    plain power iteration's, so ``iters ≥ 4`` maps to ``iters − 2``
+    products at measured equal-or-better accuracy on the slow-decay
+    spectra this flow serves (see the inline measurement note at the
+    dispatch site) — the 500k/1M product bill drops ~2/7.
     ``krylov=None`` (default) picks automatically: the block-Krylov
     basis unless its footprint (~2·N·(iters+1)·q elements) would exceed
     ~60% of the device's memory (per ``memory_stats``, or an 8 GB
@@ -527,14 +621,66 @@ def eigensystem_streaming(
         vals, vecs = _fatqr_ritz_streaming(
             X_std, jnp.concatenate(bases, axis=1), sigma, neig, matmul)
     else:
+        # constant-memory flow: CHEBYSHEV-filtered subspace iteration.
+        # Plain power iteration's filter after d products is (t/c)^d —
+        # near the wanted/unwanted boundary t = c(1+ε) that is only
+        # e^{dε}; a Chebyshev filter of the same total degree achieves
+        # cosh(d·acosh(1+2ε)) ≈ ½e^{2d√ε}, quadratically better exactly
+        # on the slowly-decaying (gap-free) spectra this flow serves.
+        # Measured (CPU f32, N=3072, dense-eigh oracle): 4 filter
+        # products + 1 full-precision Ritz product match or beat the old
+        # plain flow's 6+1 at P=20 (the 500k/1M bench class: max-rel
+        # 3.9e-2 vs 4.4e-2, λ-bound sums 2.5e-4 vs 2.8e-4) and at P=67
+        # (5.2e-2 vs 6.6e-2) — so ``iters`` ≥ 4 maps to ``iters − 2``
+        # products at equal-or-better accuracy, and 500k/1M fits drop
+        # ~2/7 of their product bill.  The cutoff needs no a-priori
+        # spectral bounds: each application starts from the free Gram
+        # Ritz values (see _cheb_app_start), and a pessimistic cutoff
+        # degrades gracefully toward plain power (T_m(2t/c−1) ~ (2t/c)^m
+        # for t ≫ c), never below it.
+        nprod = iters if iters <= 3 else max(3, iters - 2)
+        # At N ≥ 600k, force EXECUTION (a host fetch of the recurrence
+        # scale — block_until_ready only acks dispatch on the tunneled
+        # backend) after every product: the recurrence keeps one more
+        # live block than plain power did, and letting several queued
+        # programs' (Yp, Yc, Z, U) sets pile up exceeded HBM at N=1M
+        # (RESOURCE_EXHAUSTED; q=548 blocks are 2.2 GB each there).
+        # Measured: N=500k (1.1 GB blocks) runs fine fully async at
+        # 38.7 s warm, and settling there COSTS ~1.7 s of lost
+        # host/device overlap — so the bound engages only at the
+        # 1M-class shapes, where its cost (~25 ms RTT per ~20 s
+        # product) is noise.
+        sync = n >= 600_000
+
+        def _settle(x):
+            if sync:
+                jax.device_get(x)
+
+        step_fn = (_cheb_step_fused if _epilogue_capable(power_matmul)
+                   else _cheb_step)
+        c = jnp.asarray(0.0, V.dtype)
         done = 0
-        while done < iters:              # no width growth: never clamped
-            steps = min(chunk, iters - done)
-            V = _power_chunk(X_std, V, sigma, steps, power_matmul)
-            done += steps
+        for d in _cheb_degrees(nprod):
+            Yp, Yc, r, c = _cheb_app_start(X_std, V, c, sigma,
+                                           power_matmul)
+            V = None        # Yp aliases it; drop the stale reference
+            _settle(r)
+            done += 1
             if progress is not None:
-                jax.block_until_ready(V)
-                progress(done, iters)
+                jax.block_until_ready(Yc)
+                progress(done, nprod)
+            for _ in range(d - 1):
+                Yp, Yc, r = step_fn(X_std, Yp, Yc, r, c, sigma,
+                                    power_matmul)
+                _settle(r)
+                done += 1
+                if progress is not None:
+                    jax.block_until_ready(Yc)
+                    progress(done, nprod)
+            del Yp
+            V = _block_orth(Yc)
+            del Yc
+            _settle(V[0, 0])
         # Rayleigh–Ritz on the last block only (B = V, K·B recomputed at
         # full precision)
         vals, vecs = _krylov_ritz_streaming(X_std, V, V, V, sigma, neig,

@@ -40,12 +40,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# divisor candidates for the pad-free fast path (descending; all
+# multiples of 8, so the MXU sublane layout stays clean).  1000 is the
+# load-bearing one: the production streaming shapes (50k/100k/500k/1M)
+# are all multiples of 1000 but none of 1024, and a divisor block makes
+# Xp/Vp views instead of padded COPIES — at N=1M that removes two
+# 2.2 GB HBM round-trips and the output slice-copy from every product.
+_BLOCK_DIVISORS = (1024, 1000, 800, 640, 512, 400, 320, 256, 200, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "fast_accum"))
-def kernel_matmul(X, V, sigma, block: int = 1024, fast_accum: bool = False):
+def kernel_matmul(X, V, sigma, block: int = 1024, fast_accum: bool = False,
+                  init=None, out_scale=None):
     """Y = exp(-pairwise_sqdist(X, X)/sigma) @ V, never materializing K.
 
     ``V`` is (N, m); returns (N, m).  Peak temporary is one (N, block)
-    kernel tile.
+    kernel tile.  When N is not a multiple of ``block``, a divisor of N
+    from ``_BLOCK_DIVISORS`` is preferred (pad-free: X/V enter the scan
+    as reshape views, no copies) before falling back to zero-padding.
+
+    ``init``/``out_scale`` fuse a linear epilogue into the product:
+    returns ``(K@V + init) * out_scale`` with ``init`` as the scan's
+    initial accumulator — no separate Z/U blocks materialize.  This is
+    what keeps the Chebyshev recurrence (``ops/eig._cheb_step``) at the
+    plain-power memory footprint at N=1M (2.2 GB blocks; a separate
+    product-then-combine formulation exceeded HBM there).
 
     This XLA formulation is the DEFAULT streaming backend: measured on
     TPU v5e at matched (HIGHEST) precision it beats the hand-written
@@ -67,10 +86,20 @@ def kernel_matmul(X, V, sigma, block: int = 1024, fast_accum: bool = False):
     n, p = X.shape
     m = V.shape[1]
     sigma = jnp.asarray(sigma, X.dtype)
+    if block == 1024 and n % block:
+        # default-policy only: an EXPLICIT block is a memory bound the
+        # caller chose, never silently widened
+        for cand in _BLOCK_DIVISORS:       # trace-time (n, block static)
+            if cand <= n and n % cand == 0:
+                block = cand
+                break
     npad = _round_up(n, block)
-    Xp = jnp.zeros((npad, p), X.dtype).at[:n].set(X)
-    Vp = jnp.zeros((npad, m), V.dtype).at[:n].set(V)
-    r = jnp.sum(Xp * Xp, axis=1)
+    if npad == n:
+        Xp, Vp, r = X, V, jnp.sum(X * X, axis=1)
+    else:
+        Xp = jnp.zeros((npad, p), X.dtype).at[:n].set(X)
+        Vp = jnp.zeros((npad, m), V.dtype).at[:n].set(V)
+        r = jnp.sum(Xp * Xp, axis=1)
     # padded rows of X are zero => their r is 0; their kernel vs real rows is
     # exp(-(r_i)/sigma) != 0, so mask the padded COLUMNS' V rows (set to 0
     # above) — the contraction then ignores them exactly.
@@ -90,9 +119,16 @@ def kernel_matmul(X, V, sigma, block: int = 1024, fast_accum: bool = False):
         tile = jnp.exp(-d2 / sigma)
         return acc + jnp.matmul(tile, Vj, precision=contract_prec), None
 
-    acc0 = jnp.zeros((npad, m), X.dtype)
+    if init is None:
+        acc0 = jnp.zeros((npad, m), X.dtype)
+    elif npad == n:
+        acc0 = init
+    else:
+        acc0 = jnp.zeros((npad, m), X.dtype).at[:n].set(init)
     Y, _ = jax.lax.scan(step, acc0, (Xb, Vb, rb))
-    return Y[:n]
+    if out_scale is not None:
+        Y = Y * out_scale
+    return Y if npad == n else Y[:n]
 
 
 # module-level alias (stable hash for jit static args); the XLA analog

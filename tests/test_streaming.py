@@ -337,3 +337,61 @@ def test_auto_krylov_memory_selection(caplog):
     e_p = eigensystem_streaming(X, 4.0, neig=16, iters=20, krylov=False)
     assert np.max(np.abs(np.asarray(e_k.values_full)
                          - np.asarray(e_p.values_full))) < 1e-6
+
+
+def test_constant_memory_cheb_beats_plain_power_per_product(rng):
+    """The constant-memory flow's Chebyshev filter must dominate the
+    plain power filter it replaced *with two fewer products* — the
+    measured fact that lets ``iters ≥ 4`` map to ``iters − 2`` products
+    (ops/eig.py dispatch-site note; the 500k/1M bench product bill).
+
+    Oracle: dense f64 eigh.  Comparator: the exact old flow — iters
+    orthonormalized power steps + one full-precision Rayleigh–Ritz
+    product — run inline from the same initial block.  The error
+    functional is the λ-bound sum Σλ/(λ+x) over the top-neig values
+    (what the golden search and Neffective consume) plus the max
+    relative eigenvalue error.
+
+    The shape is deliberately SLOW-decay (P=64: a gap-free kernel
+    spectrum, the regime where subspace iteration needs its depth and
+    where the 500k/1M product bill lives; measured ratios ~0.6-0.9
+    here).  On fast-decay spectra (small P) cheb-5 can trail plain-7 —
+    but both errors are then ≤2e-3 absolute, an order below this
+    regime's, because the filter has nothing left to separate."""
+    from bigkrls_tpu.ops.eig import (_block_orth, _krylov_ritz_streaming,
+                                     _krylov_geometry, _subspace_init)
+
+    n, p, neig, iters = 1024, 64, 128, 6
+    X = rng.normal(size=(n, p))
+    X = (X - X.mean(0)) / X.std(0, ddof=1)
+    Xd = jnp.asarray(X, jnp.float32)
+    sigma = float(p)
+    K64 = np.asarray(gauss_kernel(jnp.asarray(X, jnp.float64), sigma))
+    oracle = np.sort(np.linalg.eigvalsh(K64))[::-1][:neig]
+
+    q, _ = _krylov_geometry(n, neig, iters)
+    V = _subspace_init(Xd, jax.random.PRNGKey(0), q)
+    for _ in range(iters):               # the old plain flow, verbatim
+        V = _block_orth(kernel_matmul(Xd, V, sigma))
+    plain_vals, _ = _krylov_ritz_streaming(Xd, V, V, V, sigma, neig,
+                                           kernel_matmul, False)
+    # the new flow: same seed, krylov=False -> Chebyshev with iters-2
+    # filter products (4) + 1 Ritz product = 5 vs the comparator's 7
+    cheb = eigensystem_streaming(Xd, sigma, neig=neig, iters=iters,
+                                 krylov=False)
+
+    def errs(vals):
+        v = np.asarray(vals, np.float64)[:neig]
+        maxrel = np.max(np.abs(v - oracle) / oracle)
+        sums = [abs(np.sum(v / (v + x)) - np.sum(oracle / (oracle + x)))
+                / np.sum(oracle / (oracle + x)) for x in (0.1, 1.0, 10.0)]
+        return maxrel, max(sums)
+
+    plain_maxrel, plain_sum = errs(plain_vals)
+    cheb_maxrel, cheb_sum = errs(cheb.values_full)
+    # dominance with a small slack for orthonormalization noise; the
+    # margin is the point — 5 products may not cost MORE error than 7
+    # (measured ratios at this shape: maxrel 0.63, sums 0.64)
+    assert cheb_maxrel <= 1.1 * plain_maxrel, (cheb_maxrel, plain_maxrel)
+    assert cheb_sum <= 1.1 * plain_sum, (cheb_sum, plain_sum)
+    assert cheb_maxrel < 0.15            # absolute sanity
