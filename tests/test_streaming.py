@@ -40,6 +40,63 @@ def test_kernel_matmul_ragged_block(rng):
     assert np.max(np.abs(np.asarray(Y) - K @ V)) < 1e-10
 
 
+def test_kernel_matmul_divisor_block_fast_path(rng):
+    """Default-policy divisor blocks (r05): when N is not a multiple of
+    the default 1024 but a `_BLOCK_DIVISORS` candidate divides it, the
+    product must pick the pad-free view path and still match the dense
+    K @ V exactly — this is the path every production streaming shape
+    (50k/100k/500k/1M, all multiples of 1000) takes."""
+    n, p, m = 2000, 4, 3      # 2000 % 1024 != 0, 1000 | 2000
+    X = rng.normal(size=(n, p))
+    V = rng.normal(size=(n, m))
+    K = np.asarray(gauss_kernel(jnp.asarray(X), float(p)))
+    Y = kernel_matmul(jnp.asarray(X), jnp.asarray(V), float(p))
+    assert np.max(np.abs(np.asarray(Y) - K @ V)) < 1e-9
+    # an EXPLICIT block is a caller-chosen memory bound: never widened,
+    # and correct whether it divides N (24 does not) or not
+    Y24 = kernel_matmul(jnp.asarray(X), jnp.asarray(V), float(p), block=24)
+    assert np.max(np.abs(np.asarray(Y24) - K @ V)) < 1e-9
+
+
+def test_kernel_matmul_fused_epilogue(rng):
+    """`kernel_matmul(init=, out_scale=)` must equal the unfused
+    ``(K @ V + init) * out_scale`` on BOTH accumulator layouts: the
+    pad-free divisor path (init used as the scan carry directly) and
+    the zero-padded path (init scattered into the padded carry).  This
+    epilogue is what keeps the Chebyshev recurrence at plain power's
+    HBM footprint at N=1M (ops/eig._cheb_step_fused)."""
+    for n in (2000, 173):     # divisor path / padded path
+        X = rng.normal(size=(n, 5))
+        V = rng.normal(size=(n, 4))
+        init = rng.normal(size=(n, 4))
+        K = np.asarray(gauss_kernel(jnp.asarray(X), 5.0))
+        want = (K @ V + init) * (-2.5)
+        got = kernel_matmul(jnp.asarray(X), jnp.asarray(V), 5.0,
+                            init=jnp.asarray(init), out_scale=-2.5)
+        assert np.max(np.abs(np.asarray(got) - want)) < 1e-9, n
+
+
+def test_cheb_step_fused_matches_generic(rng):
+    """The donating, epilogue-fused Chebyshev step must be numerically
+    identical to the generic product-then-combine step (same recurrence
+    blocks and scale) — the fused form exists purely for HBM footprint,
+    not different math."""
+    from bigkrls_tpu.ops.eig import _cheb_step, _cheb_step_fused
+
+    n, p = 160, 4
+    X = jnp.asarray(rng.normal(size=(n, p)))
+    Yp = rng.normal(size=(n, 8))
+    Yc = rng.normal(size=(n, 8))
+    r, c, sigma = 0.7, 1.3, float(p)
+    a = _cheb_step(X, jnp.asarray(Yp), jnp.asarray(Yc), r, c, sigma,
+                   kernel_matmul)
+    # fresh Yp copy: the fused step donates it
+    b = _cheb_step_fused(X, jnp.asarray(Yp), jnp.asarray(Yc), r, c, sigma,
+                         kernel_matmul)
+    for ai, bi in zip(a, b):
+        assert np.max(np.abs(np.asarray(ai) - np.asarray(bi))) < 1e-9
+
+
 def test_streaming_eigensystem_matches_materialized(rng):
     n, p, k = 120, 4, 12
     X = rng.normal(size=(n, p))
